@@ -1,0 +1,452 @@
+"""GAPartNet model: backbone + semantic / offset / score / NPCS heads.
+
+TPU re-architecture of the reference LightningModule
+(/root/reference/gapartnet/network/model.py:27-1055).  The module is a pure
+flax network; staged-training gating (model.py:528-601: clustering from epoch
+`start_clustering`, ScoreNet from `start_scorenet`, NPCS from `start_npcs`)
+becomes three static flags (do_cluster / do_score / do_npcs) selected by the
+trainer per epoch — each stage is its own compiled graph.
+
+The whole forward, including input voxelization, dual-set clustering,
+per-proposal re-voxelization, and both proposal UNets, is a single jittable
+function with static shapes.
+"""
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from gapartnet_tpu.constants import SYMMETRY_INDICES
+from gapartnet_tpu.models import losses as L
+from gapartnet_tpu.models.backbone import SparseUNet
+from gapartnet_tpu.models.grouping import (
+    SampleProposals,
+    cluster_single,
+    segmented_voxelize_single,
+)
+from gapartnet_tpu.models.norm import MaskedBatchNorm
+from gapartnet_tpu.ops.iou import instance_seg_iou
+from gapartnet_tpu.ops.segment import segment_max, segment_mean, segment_min
+from gapartnet_tpu.ops.sparse_conv import build_hierarchy
+from gapartnet_tpu.ops.voxelize import voxelize_single
+from gapartnet_tpu.structures import PointCloudBatch
+
+
+@dataclasses.dataclass(frozen=True)
+class GAPartNetConfig:
+    """Static model configuration (mirrors gapartnet.yaml model.init_args)."""
+
+    in_channels: int = 6
+    num_part_classes: int = 10
+    channels: Tuple[int, ...] = (16, 32, 48, 64, 80, 96, 112)
+    block_repeat: int = 2
+    # instance_seg_cfg (gapartnet.yaml:20-26)
+    ball_query_radius: float = 0.04
+    max_num_points_per_query: int = 50
+    min_num_points_per_proposal: int = 5
+    max_num_points_per_query_shift: int = 300
+    score_fullscale: float = 28.0
+    score_scale: float = 50.0
+    # semantic losses
+    ignore_sem_label: int = -100
+    use_sem_focal_loss: bool = True
+    use_sem_dice_loss: bool = True
+    # symmetry (gapartnet.yaml:34)
+    symmetry_indices: Tuple[int, ...] = SYMMETRY_INDICES
+    # validation / inference (model.py:46-49)
+    val_score_threshold: float = 0.09
+    val_min_num_points_per_proposal: int = 3
+    val_nms_iou_threshold: float = 0.3
+    val_ap_iou_threshold: float = 0.5
+    # fixed-shape capacities (TPU-specific)
+    voxel_size: Tuple[float, float, float] = (0.01, 0.01, 0.01)
+    max_points: int = 20000
+    max_proposals: int = 128
+    max_instances: int = 64
+    # per-UNet-level voxel capacity schedule (fractions of the input capacity)
+    level_capacity_divisors: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
+    proposal_level_divisors: Tuple[int, ...] = (1, 2)
+
+    def input_capacities(self) -> Tuple[int, ...]:
+        return tuple(
+            max(self.max_points // d, 64) for d in self.level_capacity_divisors
+        )
+
+    def proposal_capacities(self) -> Tuple[int, ...]:
+        e = 2 * self.max_points
+        return tuple(max(e // d, 64) for d in self.proposal_level_divisors)
+
+
+@struct.dataclass
+class ModelOutput:
+    sem_logits: jnp.ndarray            # (B, N, C)
+    sem_preds: jnp.ndarray             # (B, N) int32
+    offset_preds: jnp.ndarray          # (B, N, 3)
+    pc_features: jnp.ndarray           # (B, N, fea)
+    # clustering stage
+    proposals: Optional[SampleProposals] = None   # batched (leading B)
+    proposal_sem: Optional[jnp.ndarray] = None    # (B, P) class used for heads
+    # score stage
+    score_logits: Optional[jnp.ndarray] = None    # (B, P) selected-class logits
+    score_preds: Optional[jnp.ndarray] = None     # (B, P) sigmoid
+    ious: Optional[jnp.ndarray] = None            # (B, P, I) vs GT instances
+    # npcs stage
+    npcs_preds: Optional[jnp.ndarray] = None      # (B, 2N, 3) per entry
+    npcs_valid: Optional[jnp.ndarray] = None      # (B, 2N)
+    # losses (scalars; 0 where stage off)
+    loss_sem_seg: jnp.ndarray = 0.0
+    loss_offset_dist: jnp.ndarray = 0.0
+    loss_offset_dir: jnp.ndarray = 0.0
+    loss_prop_score: jnp.ndarray = 0.0
+    loss_prop_npcs: jnp.ndarray = 0.0
+    # metrics
+    all_accu: jnp.ndarray = 0.0
+    pixel_accu: jnp.ndarray = 0.0
+
+    @property
+    def total_loss(self):
+        return (
+            self.loss_sem_seg
+            + self.loss_offset_dist
+            + self.loss_offset_dir
+            + self.loss_prop_score
+            + self.loss_prop_npcs
+        )
+
+
+def prepare_input_grid(points: jnp.ndarray, point_mask: jnp.ndarray, cfg: GAPartNetConfig):
+    """Voxelize each sample (1 cm voxels over its own bbox +-1e-4, reference
+
+    dataset/gapartnet.py:179-205) — runs on device inside the jitted step
+    instead of in dataloader workers.
+    Returns (voxel_keys (B,V), voxel_feats (B,V,6), num_voxels (B,), pc_voxel_id (B,N)).
+    """
+    vsize = jnp.asarray(cfg.voxel_size, jnp.float32)
+
+    def one(pts, mask):
+        xyz = pts[:, :3]
+        big = jnp.float32(1e9)
+        rmin = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0) - 1e-4
+        rmax = jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0) + 1e-4
+        res = voxelize_single(xyz, pts, vsize, rmin, rmax, point_mask=mask)
+        return res.voxel_keys, res.voxel_features, res.num_voxels, res.pc_voxel_id
+
+    return jax.vmap(one)(points, point_mask)
+
+
+def _gather_per_point(voxel_feats, pc_voxel_id):
+    """(B, V, C) + (B, N) -> (B, N, C), zeros at invalid points."""
+    def one(f, vid):
+        g = f[vid.clip(0)]
+        return jnp.where((vid >= 0)[:, None], g, 0.0)
+
+    return jax.vmap(one)(voxel_feats, pc_voxel_id)
+
+
+def _gather_entries(per_point, entry_point, entry_mask):
+    """(B, N, ...) + (B, 2N) -> (B, 2N, ...)."""
+    def one(x, ep, m):
+        g = x[ep]
+        shape = (-1,) + (1,) * (g.ndim - 1)
+        return jnp.where(m.reshape(shape), g, 0)
+
+    return jax.vmap(one)(per_point, entry_point, entry_mask)
+
+
+class GAPartNet(nn.Module):
+    """The full network.  Stage flags are static; labels are optional.
+
+    __call__ returns a ModelOutput with predictions, losses and base metrics.
+    """
+
+    cfg: GAPartNetConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: PointCloudBatch,
+        train: bool = True,
+        do_cluster: bool = False,
+        do_score: bool = False,
+        do_npcs: bool = False,
+    ) -> ModelOutput:
+        cfg = self.cfg
+        c = cfg.num_part_classes
+        points = batch.points
+        point_mask = batch.point_mask
+        b, n = point_mask.shape
+        pt_xyz = points[..., :3]
+        has_labels = batch.sem_labels is not None
+
+        # ------------------------------------------------------------------
+        # input grid + backbone
+        # ------------------------------------------------------------------
+        keys, vfeats, nvox, pc_voxel_id = prepare_input_grid(points, point_mask, cfg)
+        hierarchy = build_hierarchy(keys, nvox, list(cfg.input_capacities()))
+        voxel_out = SparseUNet(
+            cfg.channels, cfg.block_repeat, name="backbone"
+        )(vfeats, hierarchy, train)
+        pc_feats = _gather_per_point(voxel_out, pc_voxel_id)  # (B, N, fea)
+        fea = cfg.channels[0]
+
+        # ------------------------------------------------------------------
+        # semantic segmentation head (model.py:104,160-194)
+        # ------------------------------------------------------------------
+        sem_logits = nn.Dense(c, name="sem_seg_head")(pc_feats)
+        sem_preds = jnp.argmax(
+            jax.lax.stop_gradient(sem_logits), axis=-1
+        ).astype(jnp.int32)
+
+        loss_sem = jnp.float32(0.0)
+        all_accu = jnp.float32(0.0)
+        pixel_accu = jnp.float32(0.0)
+        if has_labels:
+            flat_logits = sem_logits.reshape(-1, c)
+            flat_labels = batch.sem_labels.reshape(-1)
+            flat_mask = point_mask.reshape(-1)
+            if cfg.use_sem_focal_loss:
+                loss_sem = L.focal_loss(
+                    flat_logits, flat_labels, flat_mask,
+                    gamma=2.0, ignore_index=cfg.ignore_sem_label,
+                )
+            else:
+                valid = flat_mask & (flat_labels != cfg.ignore_sem_label)
+                t = jnp.clip(flat_labels, 0, c - 1)
+                ce = -jnp.take_along_axis(
+                    jax.nn.log_softmax(flat_logits, -1), t[:, None], -1
+                )[:, 0]
+                loss_sem = jnp.where(valid, ce, 0.0).sum() / jnp.maximum(valid.sum(), 1)
+            if cfg.use_sem_dice_loss:
+                loss_sem = loss_sem + L.dice_loss(flat_logits, flat_labels, flat_mask)
+
+            all_accu = L.pixel_accuracy(
+                sem_preds.reshape(-1), flat_labels, flat_mask
+            )
+            inst_mask = flat_mask & (flat_labels > 0)
+            pixel_accu = L.pixel_accuracy(
+                sem_preds.reshape(-1), flat_labels, inst_mask
+            )
+
+        # ------------------------------------------------------------------
+        # offset head (model.py:106-111,196-226)
+        # ------------------------------------------------------------------
+        x = nn.Dense(fea, name="offset_mlp0")(pc_feats)
+        x = MaskedBatchNorm(name="offset_bn")(x, point_mask, train)
+        x = nn.relu(x)
+        offset_preds = nn.Dense(3, name="offset_mlp1")(x)
+
+        loss_off_dist = jnp.float32(0.0)
+        loss_off_dir = jnp.float32(0.0)
+        if has_labels and batch.instance_regions is not None:
+            gt_offsets = batch.instance_regions[..., :3] - pt_xyz
+            valid_inst = (
+                (batch.sem_labels > 0) & (batch.instance_labels >= 0) & point_mask
+            )
+            loss_off_dist, loss_off_dir = L.offset_loss(
+                offset_preds.reshape(-1, 3),
+                gt_offsets.reshape(-1, 3),
+                valid_inst.reshape(-1),
+            )
+
+        out = ModelOutput(
+            sem_logits=sem_logits,
+            sem_preds=sem_preds,
+            offset_preds=offset_preds,
+            pc_features=pc_feats,
+            loss_sem_seg=loss_sem,
+            loss_offset_dist=loss_off_dist,
+            loss_offset_dir=loss_off_dir,
+            all_accu=all_accu,
+            pixel_accu=pixel_accu,
+        )
+        if not do_cluster:
+            return out
+
+        # ------------------------------------------------------------------
+        # dual-set clustering (model.py:228-346)
+        # ------------------------------------------------------------------
+        cluster_valid = (sem_preds > 0) & point_mask
+        if has_labels and batch.instance_labels is not None:
+            cluster_valid = cluster_valid & (batch.instance_labels >= 0)
+
+        stop_offsets = jax.lax.stop_gradient(offset_preds)
+        prop = jax.vmap(
+            lambda xyz, off, sem, val: cluster_single(
+                xyz, off, sem, val,
+                cfg.ball_query_radius,
+                cfg.max_num_points_per_query,
+                cfg.max_num_points_per_query_shift,
+                cfg.min_num_points_per_proposal,
+                cfg.max_proposals,
+            )
+        )(pt_xyz, stop_offsets, sem_preds, cluster_valid)
+
+        # shared random cube-placement jitter (grouping_utils.py:86-91)
+        if train:
+            rand3 = jax.random.uniform(self.make_rng("proposal_jitter"), (3,))
+        else:
+            rand3 = jnp.full((3,), 0.5, jnp.float32)
+        grid = jax.vmap(
+            lambda xyz, pr: segmented_voxelize_single(
+                xyz, pr, rand3, cfg.max_proposals,
+                cfg.score_fullscale, cfg.score_scale,
+            )
+        )(pt_xyz, prop)
+
+        prop_hier = build_hierarchy(
+            grid.keys, grid.num_voxels, list(cfg.proposal_capacities())
+        )
+        entry_feats = _gather_entries(pc_feats, prop.entry_point, prop.entry_mask)
+        entry_voxel_ok = prop.entry_mask & (grid.entry_voxel_id >= 0)
+        # voxel features = mean of entry features (reduction="mean")
+        e_cap = prop.entry_point.shape[1]
+        prop_vfeats = jax.vmap(
+            lambda f, vid, m: segment_mean(f, vid.clip(0), e_cap, mask=m)
+        )(entry_feats, grid.entry_voxel_id, entry_voxel_ok)
+
+        # proposal representative point (min point index; the reference takes
+        # its first entry after sorting, model.py:552-557)
+        rep_point = jax.vmap(
+            lambda ep, pid, m: segment_min(
+                jnp.where(m, ep, n), pid.clip(0), cfg.max_proposals, mask=m
+            )
+        )(prop.entry_point, prop.entry_proposal, prop.entry_mask)
+        rep_point = jnp.clip(rep_point, 0, n - 1)
+        if has_labels:
+            proposal_sem = jnp.take_along_axis(batch.sem_labels, rep_point, axis=1)
+        else:
+            proposal_sem = jnp.take_along_axis(sem_preds, rep_point, axis=1)
+        proposal_sem = jnp.clip(proposal_sem, 1, c - 1)
+
+        # IoU vs GT instances — needed for the score loss and for AP eval
+        ious = None
+        if has_labels and batch.instance_labels is not None:
+            entry_inst = _gather_entries(
+                batch.instance_labels, prop.entry_point, prop.entry_mask
+            )
+            entry_inst = jnp.where(prop.entry_mask, entry_inst, -100)
+            ious = jax.vmap(
+                lambda pid, ei, m, sp, si: instance_seg_iou(
+                    pid, ei, m, sp, si,
+                    num_proposals=cfg.max_proposals,
+                    num_instances=cfg.max_instances,
+                )
+            )(
+                prop.entry_proposal,
+                entry_inst,
+                prop.entry_mask,
+                prop.proposal_size,
+                batch.num_points_per_instance[:, : cfg.max_instances],
+            )
+
+        out = out.replace(proposals=prop, proposal_sem=proposal_sem, ious=ious)
+
+        # ------------------------------------------------------------------
+        # ScoreNet (model.py:113-116,348-385)
+        # ------------------------------------------------------------------
+        if do_score:
+            sfeat = SparseUNet(
+                cfg.channels[:2], cfg.block_repeat, without_stem=True,
+                name="score_unet",
+            )(prop_vfeats, prop_hier, train)
+            entry_sf = _gather_entries_from_voxels(sfeat, grid.entry_voxel_id, prop.entry_mask)
+            pooled = jax.vmap(
+                lambda f, pid, m: segment_max(f, pid.clip(0), cfg.max_proposals, mask=m)
+            )(entry_sf, prop.entry_proposal, prop.entry_mask)
+            pooled = jnp.where(prop.proposal_mask[..., None], pooled, 0.0)
+            score_all = nn.Dense(c - 1, name="score_head")(pooled)  # (B, P, 9)
+            score_logits = jnp.take_along_axis(
+                score_all, (proposal_sem - 1)[..., None], axis=-1
+            )[..., 0]
+            score_preds = jax.nn.sigmoid(jax.lax.stop_gradient(score_logits))
+
+            loss_score = jnp.float32(0.0)
+            if ious is not None:
+                ious_max = jnp.max(ious, axis=-1)
+                gt_scores = L.get_gt_scores(ious_max, 0.75, 0.25)
+                loss_score = L.sigmoid_bce(
+                    score_logits.reshape(-1),
+                    gt_scores.reshape(-1),
+                    prop.proposal_mask.reshape(-1),
+                )
+            out = out.replace(
+                score_logits=score_logits,
+                score_preds=score_preds,
+                loss_prop_score=loss_score,
+            )
+
+        # ------------------------------------------------------------------
+        # NPCSNet (model.py:119-122,387-462)
+        # ------------------------------------------------------------------
+        if do_npcs:
+            nfeat = SparseUNet(
+                cfg.channels[:2], cfg.block_repeat, without_stem=True,
+                name="npcs_unet",
+            )(prop_vfeats, prop_hier, train)
+            npcs_all = nn.Dense(3 * (c - 1), name="npcs_head")(nfeat)
+            entry_npcs = _gather_entries_from_voxels(
+                npcs_all, grid.entry_voxel_id, prop.entry_mask
+            )  # (B, 2N, 27)
+            entry_npcs = entry_npcs.reshape(b, -1, c - 1, 3)
+            entry_sem_pred = _gather_entries(
+                sem_preds, prop.entry_point, prop.entry_mask
+            )
+            sel = jnp.clip(entry_sem_pred - 1, 0, c - 2)
+            npcs_preds = jnp.take_along_axis(
+                entry_npcs, sel[..., None, None], axis=2
+            )[:, :, 0, :]  # (B, 2N, 3)
+
+            loss_npcs = jnp.float32(0.0)
+            npcs_valid = None
+            if has_labels and batch.gt_npcs is not None:
+                entry_sem_label = _gather_entries(
+                    batch.sem_labels, prop.entry_point, prop.entry_mask
+                )
+                entry_gt_npcs = _gather_entries(
+                    batch.gt_npcs, prop.entry_point, prop.entry_mask
+                )
+                npcs_valid = (
+                    prop.entry_mask
+                    & (entry_sem_pred == entry_sem_label)
+                    & jnp.any(entry_gt_npcs != 0, axis=-1)
+                )
+                sym_idx = jnp.asarray(cfg.symmetry_indices, jnp.int32)
+                entry_sym = sym_idx[jnp.clip(entry_sem_pred, 0, c - 1)]
+                # flatten batch into one segment space
+                p = cfg.max_proposals
+                gpid = jnp.where(
+                    prop.entry_proposal >= 0,
+                    prop.entry_proposal + jnp.arange(b, dtype=jnp.int32)[:, None] * p,
+                    -1,
+                )
+                prop_sym = sym_idx[jnp.clip(proposal_sem, 0, c - 1)]
+                prop_sym = jnp.where(prop.proposal_mask, prop_sym, -1)
+                loss_npcs = L.npcs_loss(
+                    npcs_preds.reshape(-1, 3),
+                    entry_gt_npcs.reshape(-1, 3),
+                    entry_sym.reshape(-1),
+                    gpid.reshape(-1),
+                    npcs_valid.reshape(-1),
+                    b * p,
+                    prop_sym.reshape(-1),
+                )
+            out = out.replace(
+                npcs_preds=npcs_preds,
+                npcs_valid=npcs_valid,
+                loss_prop_npcs=loss_npcs,
+            )
+
+        return out
+
+
+def _gather_entries_from_voxels(voxel_feats, entry_voxel_id, entry_mask):
+    """(B, V, C) + (B, 2N) voxel ids -> (B, 2N, C)."""
+    def one(f, vid, m):
+        g = f[vid.clip(0)]
+        return jnp.where((m & (vid >= 0))[:, None], g, 0.0)
+
+    return jax.vmap(one)(voxel_feats, entry_voxel_id, entry_mask)

@@ -1,0 +1,181 @@
+"""Dual-set proposal clustering, compaction, and segmented re-voxelization.
+
+Fixed-shape re-architecture of the reference instance-grouping pipeline
+(gapartnet/network/model.py:228-346 + grouping_utils.py:47-140):
+
+  1. label-constrained ball query + connected components on xyz (K=50) and on
+     xyz+offset (K=300) — the "dual set" (model.py:263-278)
+  2. concatenate the two cluster-label spaces, compact ids, drop proposals
+     with < min_pts points (model.py:281-314)
+  3. per-proposal normalize into a `score_fullscale`^3 cube with clamped
+     scale and a shared random placement jitter, then voxelize with unit
+     voxels (grouping_utils.py:47-104)
+
+The reference's shrinking-tensor cascade becomes masked fixed capacities:
+every sample owns exactly 2N proposal-point "entries" (each valid point
+appears once per set) and at most P proposals; everything downstream indexes
+through (entry_point, entry_proposal, masks).
+
+Proposal voxel grids are embedded in one virtual 1024^3 key space: proposal p
+gets the 32^3 cell at ((p%32), (p//32)%32, p//1024) * 32, so the generic
+rulebook machinery (ops/sparse_conv.py) runs unchanged.  Cube coords stay in
+[0, 28) < 32, so kernels never alias across cells (one-voxel guard margin on
+both sides, and stride-2 halving keeps cells disjoint at the coarser level).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gapartnet_tpu.ops.ball_query import ball_query_single
+from gapartnet_tpu.ops.ccl import connected_components_single
+from gapartnet_tpu.ops.segment import (
+    segment_count,
+    segment_max,
+    segment_mean,
+    segment_min,
+    segment_sum,
+)
+from gapartnet_tpu.ops.voxelize import dedup_keys, pack_coords
+
+PROPOSAL_CELL = 32  # virtual cell edge per proposal (> score_fullscale 28)
+
+
+class SampleProposals(NamedTuple):
+    """Per-sample clustering output (leading axis 2N entries / P proposals)."""
+
+    entry_point: jnp.ndarray     # (2N,) point index in [0, N)
+    entry_proposal: jnp.ndarray  # (2N,) compact proposal id, -1 invalid
+    entry_mask: jnp.ndarray      # (2N,) bool
+    proposal_size: jnp.ndarray   # (P,) int32
+    proposal_mask: jnp.ndarray   # (P,) bool
+    num_proposals: jnp.ndarray   # () int32
+
+
+def cluster_single(
+    pt_xyz: jnp.ndarray,
+    offsets: jnp.ndarray,
+    sem_preds: jnp.ndarray,
+    valid: jnp.ndarray,
+    ball_query_radius: float,
+    max_num_points_per_query: int,
+    max_num_points_per_query_shift: int,
+    min_num_points_per_proposal: int,
+    max_proposals: int,
+):
+    """One sample; vmap over the batch.  Returns SampleProposals."""
+    n = pt_xyz.shape[0]
+
+    nbr1, _ = ball_query_single(
+        pt_xyz, sem_preds, valid, ball_query_radius, max_num_points_per_query
+    )
+    lab1 = connected_components_single(nbr1, valid)
+    nbr2, _ = ball_query_single(
+        pt_xyz + offsets, sem_preds, valid, ball_query_radius,
+        max_num_points_per_query_shift,
+    )
+    lab2 = connected_components_single(nbr2, valid)
+
+    # entries: set-1 clusters keyed by [0, N), set-2 by [N, 2N)
+    sentinel = 2 * n
+    keys = jnp.concatenate(
+        [jnp.where(valid, lab1, sentinel), jnp.where(valid, n + lab2, sentinel)]
+    )
+    point_idx = jnp.concatenate([jnp.arange(n, dtype=jnp.int32)] * 2)
+
+    order = jnp.argsort(keys, stable=True)
+    sk = keys[order]
+    sp = point_idx[order]
+    entry_valid = sk < sentinel
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & entry_valid
+    rid = jnp.cumsum(first.astype(jnp.int32)) - 1  # raw proposal id per entry
+
+    m = 2 * n
+    sizes_raw = segment_sum(
+        jnp.ones((m,), jnp.int32), rid, m, mask=entry_valid
+    )
+    keep_raw = sizes_raw >= min_num_points_per_proposal
+    keep_entry = entry_valid & keep_raw[jnp.clip(rid, 0, m - 1)]
+    compact_of_raw = jnp.cumsum(keep_raw.astype(jnp.int32)) - 1
+    pid = jnp.where(keep_entry, compact_of_raw[jnp.clip(rid, 0, m - 1)], -1)
+    pid = jnp.where(pid < max_proposals, pid, -1)
+    entry_mask = pid >= 0
+
+    num_proposals = jnp.minimum(keep_raw.sum(), max_proposals).astype(jnp.int32)
+    proposal_size = segment_sum(
+        jnp.ones((m,), jnp.int32), pid, max_proposals, mask=entry_mask
+    )
+    proposal_mask = jnp.arange(max_proposals) < num_proposals
+
+    return SampleProposals(
+        entry_point=sp,
+        entry_proposal=pid,
+        entry_mask=entry_mask,
+        proposal_size=proposal_size,
+        proposal_mask=proposal_mask,
+        num_proposals=num_proposals,
+    )
+
+
+class ProposalGrid(NamedTuple):
+    keys: jnp.ndarray          # (2N,) sorted proposal-grid voxel keys
+    num_voxels: jnp.ndarray    # ()
+    entry_voxel_id: jnp.ndarray  # (2N,) voxel id per entry, -1 invalid
+
+
+def segmented_voxelize_single(
+    pt_xyz: jnp.ndarray,           # (N, 3)
+    prop: SampleProposals,
+    rand3: jnp.ndarray,            # (3,) uniform [0,1) — shared jitter, matching
+                                   # the reference's single torch.rand(3)
+                                   # (grouping_utils.py:86-91)
+    max_proposals: int,
+    score_fullscale: float = 28.0,
+    score_scale: float = 50.0,
+) -> ProposalGrid:
+    """Normalize each proposal into the fullscale cube and voxelize (unit voxel)."""
+    p = max_proposals
+    exyz = pt_xyz[prop.entry_point]  # (2N, 3)
+    pidc = jnp.clip(prop.entry_proposal, 0, p - 1)
+    mask = prop.entry_mask
+
+    mean = segment_mean(exyz, pidc, p, mask=mask)
+    centered = exyz - mean[pidc]
+    cmin = segment_min(centered, pidc, p, mask=mask)
+    cmax = segment_max(centered, pidc, p, mask=mask)
+    # guard empty proposals (segment_min/max identities are +/- inf)
+    ok_p = prop.proposal_size > 0
+    cmin = jnp.where(ok_p[:, None], cmin, 0.0)
+    cmax = jnp.where(ok_p[:, None], cmax, 0.0)
+
+    extent = jnp.max(cmax - cmin, axis=-1)
+    scales = 1.0 / jnp.maximum(extent / score_fullscale, 1e-12) - 0.01
+    scales = jnp.minimum(scales, score_scale)
+
+    min_xyz = cmin * scales[:, None]
+    max_xyz = cmax * scales[:, None]
+    scaled = centered * scales[pidc][:, None]
+
+    range_xyz = max_xyz - min_xyz
+    offs = (
+        -min_xyz
+        + jnp.clip(score_fullscale - range_xyz - 0.001, min=0.0) * rand3[None, :]
+        + jnp.clip(score_fullscale - range_xyz + 0.001, max=0.0) * rand3[None, :]
+    )
+    scaled = scaled + offs[pidc]
+
+    coords = jnp.clip(
+        jnp.floor(scaled).astype(jnp.int32), 0, int(score_fullscale) - 1
+    )
+    cell = jnp.stack(
+        [pidc % PROPOSAL_CELL, (pidc // PROPOSAL_CELL) % PROPOSAL_CELL,
+         pidc // (PROPOSAL_CELL * PROPOSAL_CELL)],
+        axis=-1,
+    )
+    full_coords = cell * PROPOSAL_CELL + coords
+    keys = pack_coords(full_coords)
+    unique_keys, entry_voxel_id, num_voxels = dedup_keys(keys, mask)
+    return ProposalGrid(
+        keys=unique_keys, num_voxels=num_voxels, entry_voxel_id=entry_voxel_id
+    )

@@ -41,6 +41,33 @@ def unpack_key(key: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1)
 
 
+def dedup_keys(keys: jnp.ndarray, valid: jnp.ndarray):
+    """Sort + run-length deduplicate int32 keys (invalid -> KEY_SENTINEL).
+
+    Returns (unique_keys (M,) ascending sentinel-padded,
+             id_per_entry (M,) int32 with -1 for invalid,
+             num_unique ()).
+    """
+    m = keys.shape[0]
+    keys = jnp.where(valid, keys, KEY_SENTINEL)
+    order = jnp.argsort(keys)
+    sorted_keys = keys[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sorted_keys[1:] != sorted_keys[:-1]]
+    )
+    sorted_valid = sorted_keys != KEY_SENTINEL
+    first = first & sorted_valid
+    uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+    num_unique = first.sum().astype(jnp.int32)
+    id_per_entry = jnp.zeros((m,), jnp.int32).at[order].set(
+        jnp.where(sorted_valid, uid_sorted, -1)
+    )
+    unique_keys = jnp.full((m,), KEY_SENTINEL, jnp.int32).at[
+        jnp.where(first, uid_sorted, m)
+    ].set(sorted_keys, mode="drop")
+    return unique_keys, id_per_entry, num_unique
+
+
 class VoxelizeResult(NamedTuple):
     voxel_keys: jnp.ndarray      # (N,) int32, ascending, KEY_SENTINEL padded
     voxel_features: jnp.ndarray  # (N, C) mean-reduced features per voxel

@@ -1,0 +1,75 @@
+"""End-to-end inference throughput benchmark (point clouds / sec / chip).
+
+Measures the full flagship pipeline on one chip: on-device voxelization,
+SparseUNet backbone (channels 16..112), semantic + offset heads, dual-set
+clustering (ball query + CCL), per-proposal re-voxelization, ScoreNet and
+NPCSNet — i.e. the reference's `_inference_perception_model` path
+(structure/utils.py:118-192) without host round-trips.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference repo publishes no throughput numbers (BASELINE.md); the
+vs_baseline denominator below is a provisional estimate of the torch/A100
+end-to-end single-chip throughput for the same pipeline, to be replaced by a
+measured number when an A100 run is available.
+"""
+
+import json
+import os
+import sys
+import time
+
+A100_BASELINE_CLOUDS_PER_SEC = 30.0  # provisional estimate, see module docstring
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "8"))
+WARMUP = 2
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+
+
+def main():
+    import jax
+    import numpy as np
+
+    import __graft_entry__ as g
+    from gapartnet_tpu.models.gapartnet import GAPartNet, GAPartNetConfig
+
+    cfg = GAPartNetConfig()
+    model = GAPartNet(cfg)
+    batch = g._make_batch(cfg.max_points, BATCH_SIZE, cfg.max_instances, seed=0)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "proposal_jitter": jax.random.PRNGKey(1)},
+        batch, train=False, do_cluster=True, do_score=True, do_npcs=True,
+    )
+
+    @jax.jit
+    def infer(batch):
+        out = model.apply(
+            variables, batch, train=False,
+            do_cluster=True, do_score=True, do_npcs=True,
+        )
+        return out.sem_preds, out.score_preds, out.npcs_preds
+
+    for _ in range(WARMUP):
+        out = infer(batch)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = infer(batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    clouds_per_sec = BATCH_SIZE * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_inference_throughput",
+                "value": round(clouds_per_sec, 2),
+                "unit": "point_clouds/sec/chip",
+                "vs_baseline": round(clouds_per_sec / A100_BASELINE_CLOUDS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

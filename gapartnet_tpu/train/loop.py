@@ -1,0 +1,131 @@
+"""Training / evaluation step factories.
+
+Replaces the reference's LightningModule training plumbing
+(model.py:466-692, 1051-1055): Adam(lr=1e-3), staged schedule gating
+(epoch >= start_clustering / start_scorenet / start_npcs selects one of three
+compiled step graphs), and per-step metric emission.
+
+Each stage is a separately jitted function; under a device mesh the batch is
+sharded over "dp" and parameters are replicated — XLA handles the gradient
+all-reduce (see parallel/mesh.py).
+"""
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from gapartnet_tpu.models.gapartnet import GAPartNet, GAPartNetConfig, ModelOutput
+from gapartnet_tpu.structures import PointCloudBatch
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def stage_flags(epoch: int, training_schedule: Tuple[int, int]) -> Dict[str, bool]:
+    """Reference gating (model.py:69-70, 528-601): clustering and ScoreNet
+
+    from start_scorenet (= schedule[0], and start_clustering = min of both),
+    NPCS from start_npcs (= schedule[1])."""
+    start_scorenet, start_npcs = training_schedule
+    start_clustering = min(start_scorenet, start_npcs)
+    return dict(
+        do_cluster=epoch >= start_clustering,
+        do_score=epoch >= start_scorenet,
+        do_npcs=epoch >= start_npcs,
+    )
+
+
+def create_train_state(
+    model: GAPartNet,
+    example_batch: PointCloudBatch,
+    optimizer: optax.GradientTransformation,
+    seed: int = 0,
+) -> TrainState:
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed), "proposal_jitter": jax.random.PRNGKey(seed + 1)},
+        example_batch, train=False, do_cluster=True, do_score=True, do_npcs=True,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def loss_metrics(out: ModelOutput) -> Dict[str, jnp.ndarray]:
+    """Metric names match the reference logging contract (model.py:607-657)."""
+    return {
+        "loss/total_loss": out.total_loss,
+        "loss/loss_sem_seg": out.loss_sem_seg,
+        "loss/loss_offset_dist": out.loss_offset_dist,
+        "loss/loss_offset_dir": out.loss_offset_dir,
+        "loss/loss_prop_score": out.loss_prop_score,
+        "loss/loss_prop_npcs": out.loss_prop_npcs,
+        "all_accu": out.all_accu * 100.0,
+        "pixel_accu": out.pixel_accu * 100.0,
+    }
+
+
+def make_train_step(
+    model: GAPartNet,
+    optimizer: optax.GradientTransformation,
+    do_cluster: bool,
+    do_score: bool,
+    do_npcs: bool,
+    donate: bool = True,
+):
+    flags = dict(do_cluster=do_cluster, do_score=do_score, do_npcs=do_npcs)
+
+    def step(state: TrainState, batch: PointCloudBatch, rng: jax.Array):
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, **flags,
+                rngs={"proposal_jitter": rng},
+                mutable=["batch_stats"],
+            )
+            return out.total_loss, (out, mutated["batch_stats"])
+
+        (loss, (out, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, loss_metrics(out)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: GAPartNet, do_cluster: bool, do_score: bool, do_npcs: bool):
+    flags = dict(do_cluster=do_cluster, do_score=do_score, do_npcs=do_npcs)
+
+    def step(state: TrainState, batch: PointCloudBatch) -> ModelOutput:
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False, **flags,
+        )
+
+    return jax.jit(step)
+
+
+def adam(learning_rate: float = 1e-3) -> optax.GradientTransformation:
+    """torch.optim.Adam defaults (model.py:1051-1055): b1=.9 b2=.999 eps=1e-8."""
+    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)

@@ -1,0 +1,349 @@
+"""Fit / test driver.
+
+Replaces the reference's LightningCLI + Trainer stack (gapartnet/train.py:43-69
++ LightningModule hooks in network/model.py):
+
+  * fit: staged training (schedule [start_scorenet, start_npcs]), validation
+    over the three dataloaders (val / test_intra / test_inter) each epoch,
+    top-k orbax checkpointing on monitor_metrics/mean_mAP.
+  * test: restore a checkpoint, evaluate the three splits, report the exact
+    metric-name contract of the reference (model.py:694-805, 859-1049).
+
+Logging goes to a JSONL file (and optionally wandb when available), replacing
+WandbLogger; metric names are identical so dashboards port over.
+"""
+
+import dataclasses
+import json
+import os
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gapartnet_tpu.constants import PART_ID2NAME
+from gapartnet_tpu.data.loader import GAPartNetDataset, collate
+from gapartnet_tpu.eval.ap import APEvaluator, batch_to_records, select_eval_proposals
+from gapartnet_tpu.models.gapartnet import GAPartNet, GAPartNetConfig
+from gapartnet_tpu.structures import PointCloudBatch
+from gapartnet_tpu.train.config import Config
+from gapartnet_tpu.train.loop import (
+    TrainState,
+    adam,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    stage_flags,
+)
+
+SPLITS = ("val", "test_intra", "test_inter")
+
+
+class MetricLogger:
+    def __init__(self, log_file: str, use_wandb: bool = False, run_name: str = ""):
+        self.path = Path(log_file)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(project="gapartnet_tpu", name=run_name or None)
+            except Exception:
+                self.wandb = None
+
+    def log(self, metrics: Dict[str, float], step: int):
+        rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self.wandb is not None:
+            self.wandb.log(metrics, step=step)
+
+
+def _np_batch_to_device(raw: dict) -> PointCloudBatch:
+    ids = raw.get("pc_ids")
+    arrays = {k: jnp.asarray(v) for k, v in raw.items() if k != "pc_ids"}
+    return PointCloudBatch(**arrays, pc_ids=ids)
+
+
+def _iter_batches(dataset: GAPartNetDataset, batch_size: int, drop_last: bool,
+                  shuffle_seed: Optional[int] = None):
+    order = np.arange(len(dataset))
+    if shuffle_seed is not None:
+        np.random.RandomState(shuffle_seed).shuffle(order)
+    n = len(order)
+    end = n - (n % batch_size) if drop_last else n
+    for s in range(0, end, batch_size):
+        idxs = order[s : s + batch_size]
+        samples = [dataset[int(i)] for i in idxs]
+        # pad the trailing partial batch by repeating the last sample with an
+        # all-false point mask so batch shape stays static
+        while len(samples) < batch_size:
+            filler = {k: np.copy(v) if isinstance(v, np.ndarray) else v
+                      for k, v in samples[-1].items()}
+            filler["point_mask"] = np.zeros_like(filler["point_mask"])
+            filler["num_points_per_instance"] = np.zeros_like(
+                filler["num_points_per_instance"]
+            )
+            filler["instance_sem_labels"] = np.full_like(
+                filler["instance_sem_labels"], -1
+            )
+            filler["pc_id"] = "__pad__"
+            samples.append(filler)
+        yield collate(samples)
+
+
+@dataclasses.dataclass
+class CkptManager:
+    """Top-k checkpointing on a monitored metric (ModelCheckpoint semantics,
+
+    gapartnet.yaml:77-84) via orbax."""
+
+    ckpt_dir: str
+    save_top_k: int = 5
+    kept: List = dataclasses.field(default_factory=list)  # (score, path)
+
+    def __post_init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        Path(self.ckpt_dir).mkdir(parents=True, exist_ok=True)
+
+    def save(self, state: TrainState, epoch: int, score: float):
+        name = f"epoch_{epoch:03d}_mAP_{score:.2f}"
+        path = os.path.abspath(os.path.join(self.ckpt_dir, name))
+        ckptr = self._ocp.StandardCheckpointer()
+        ckptr.save(path, dict(
+            params=jax.device_get(state.params),
+            batch_stats=jax.device_get(state.batch_stats),
+            epoch=epoch,
+        ))
+        ckptr.wait_until_finished()
+        self.kept.append((score, path))
+        self.kept.sort(key=lambda t: -t[0])
+        while len(self.kept) > self.save_top_k:
+            _, worst = self.kept.pop()
+            import shutil
+
+            shutil.rmtree(worst, ignore_errors=True)
+
+    @staticmethod
+    def restore(path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(path))
+
+
+def load_warm_start(params, batch_stats, ckpt_path: str):
+    """strict=False warm start (reference model.py:132-143): restore matching
+
+    keys, keep fresh values for missing ones, ignore unexpected ones."""
+    restored = CkptManager.restore(ckpt_path)
+    rp, rb = restored["params"], restored.get("batch_stats", {})
+
+    def merge(dst, src, trail=""):
+        if not isinstance(dst, dict):
+            return src if src is not None else dst
+        out = {}
+        for k, v in dst.items():
+            if isinstance(src, dict) and k in src:
+                out[k] = merge(v, src[k], trail + "/" + k)
+            else:
+                print(f"missing key (kept init): {trail}/{k}")
+                out[k] = v
+        return out
+
+    import flax
+
+    params = merge(flax.core.unfreeze(params), rp)
+    batch_stats = merge(flax.core.unfreeze(batch_stats), rb)
+    return params, batch_stats
+
+
+def build_datasets(cfg: Config, stage: str):
+    d = cfg.data
+    root = Path(d.root_dir)
+    common = dict(
+        max_points=d.max_points,
+        max_instances=d.max_instances,
+        few_shot_num=d.few_shot_num,
+        nopart_path=d.nopart_path,
+    )
+    datasets = {}
+    if stage == "fit":
+        roots = (
+            [root / s / "pth" for s in ("train", "val", "test_intra", "test_inter")]
+            if d.train_with_all
+            else root / "train" / "pth"
+        )
+        datasets["train"] = GAPartNetDataset(
+            roots, shuffle=True, augmentation=True,
+            few_shot=d.train_few_shot,
+            pos_jitter=d.pos_jitter, color_jitter=d.color_jitter,
+            flip_prob=d.flip_prob, rotate_prob=d.rotate_prob, **common,
+        )
+    for split, few in (
+        ("val", d.val_few_shot),
+        ("test_intra", d.intra_few_shot),
+        ("test_inter", d.inter_few_shot),
+    ):
+        sub = "val" if split == "val" else split
+        datasets[split] = GAPartNetDataset(
+            root / sub / "pth", shuffle=False, augmentation=False,
+            few_shot=few, **common,
+        )
+    return datasets
+
+
+def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
+                    logger: MetricLogger, step: int, do_instance: bool):
+    """Validation/test over the three splits; returns the monitor metric.
+
+    Metric names follow model.py:694-805/859-1049 exactly.
+    """
+    flags = dict(do_cluster=do_instance, do_score=do_instance, do_npcs=do_instance)
+    eval_step = make_eval_step(model, **flags)
+    num_classes = cfg.model.num_part_classes
+
+    all_accus, pixel_accus, mious, ap50s, maps = [], [], [], [], []
+    metrics: Dict[str, float] = {}
+    for split in SPLITS:
+        ds = datasets[split]
+        evaluator = APEvaluator(num_classes)
+        conf = np.zeros((num_classes, num_classes), np.int64)
+        accu_sum, pix_sum, batches = 0.0, 0.0, 0
+        for raw in _iter_batches(ds, cfg.data.val_batch_size, drop_last=False):
+            batch = _np_batch_to_device(raw)
+            out = eval_step(state, batch)
+            accu_sum += float(out.all_accu)
+            pix_sum += float(out.pixel_accu)
+            batches += 1
+            preds = np.asarray(out.sem_preds).reshape(-1)
+            labels = np.asarray(batch.sem_labels).reshape(-1)
+            mask = np.asarray(batch.point_mask).reshape(-1) & (labels >= 0)
+            np.add.at(conf, (labels[mask], preds[mask]), 1)
+            if do_instance and out.score_preds is not None and out.ious is not None:
+                keep = select_eval_proposals(out, cfg.model, cfg.model.max_points)
+                s, c, si, io, isl = batch_to_records(
+                    out, keep, batch.instance_sem_labels
+                )
+                if io is not None:
+                    evaluator.add(s, c, si, io, isl)
+        if batches == 0:
+            continue
+        all_accu = accu_sum / batches
+        pixel_accu = pix_sum / batches
+        tp = np.diag(conf)
+        total = conf.sum(0) + conf.sum(1) - tp
+        iou = np.where(total > 0, tp / np.maximum(total, 1e-8), 1.0)
+        miou = float(iou.mean())
+
+        if do_instance:
+            m = evaluator.compute_map()
+            ap50, mAP, per_class = m["AP50"], m["mAP"], m["AP50_per_class"]
+            for ci in range(1, num_classes):
+                metrics[f"{split}/AP@50_{PART_ID2NAME[ci]}"] = per_class[ci - 1] * 100
+        else:
+            ap50, mAP = 0.0, 0.0
+        metrics[f"{split}/AP@50"] = ap50 * 100
+        metrics[f"{split}/mAP"] = mAP * 100
+        metrics[f"{split}/all_accu"] = all_accu * 100
+        metrics[f"{split}/pixel_accu"] = pixel_accu * 100
+        metrics[f"{split}/miou"] = miou * 100
+        all_accus.append(all_accu)
+        pixel_accus.append(pixel_accu)
+        mious.append(miou)
+        ap50s.append(ap50)
+        maps.append(mAP)
+
+    if len(maps) == 3:
+        metrics["monitor_metrics/mean_all_accu"] = (all_accus[1] + all_accus[2]) / 2 * 100
+        metrics["monitor_metrics/mean_pixel_accu"] = (pixel_accus[1] + pixel_accus[2]) / 2 * 100
+        metrics["monitor_metrics/mean_imou"] = (mious[1] + mious[2]) / 2 * 100
+        metrics["monitor_metrics/mean_AP@50"] = (ap50s[1] + ap50s[2]) / 2 * 100
+        metrics["monitor_metrics/mean_mAP"] = (maps[1] + maps[2]) / 2 * 100
+    logger.log(metrics, step)
+    return metrics.get("monitor_metrics/mean_mAP", 0.0), metrics
+
+
+def fit(cfg: Config):
+    model = GAPartNet(cfg.model)
+    datasets = build_datasets(cfg, "fit")
+    logger = MetricLogger(cfg.trainer.log_file, cfg.trainer.use_wandb)
+    optimizer = adam(cfg.trainer.learning_rate)
+
+    example = _np_batch_to_device(
+        next(_iter_batches(datasets["train"], cfg.data.train_batch_size, True, 0))
+    )
+    state = create_train_state(model, example, optimizer, seed=cfg.trainer.seed)
+    if cfg.trainer.resume_ckpt:
+        p, b = load_warm_start(state.params, state.batch_stats, cfg.trainer.resume_ckpt)
+        state = state._replace(params=p, batch_stats=b)
+
+    ckpts = CkptManager(cfg.trainer.ckpt_dir, cfg.trainer.save_top_k)
+    rng = jax.random.PRNGKey(cfg.trainer.seed)
+    step_fns = {}
+    gstep = 0
+    for epoch in range(cfg.trainer.max_epochs):
+        flags = stage_flags(epoch, cfg.trainer.training_schedule)
+        key = tuple(sorted(flags.items()))
+        if key not in step_fns:
+            step_fns[key] = make_train_step(model, optimizer, **flags)
+        train_step = step_fns[key]
+
+        t0 = time.time()
+        losses = []
+        for raw in _iter_batches(
+            datasets["train"], cfg.data.train_batch_size, drop_last=True,
+            shuffle_seed=cfg.trainer.seed + epoch,
+        ):
+            batch = _np_batch_to_device(raw)
+            rng, sub = jax.random.split(rng)
+            state, m = train_step(state, batch, sub)
+            losses.append(m)
+            gstep += 1
+        if losses:
+            mean = {
+                "train_" + k if not k.startswith("loss") else f"train_loss/{k.split('/')[-1]}":
+                    float(np.mean([float(x[k]) for x in losses]))
+                for k in losses[0]
+            }
+            mean["epoch"] = epoch
+            mean["epoch_time_s"] = time.time() - t0
+            logger.log(mean, gstep)
+
+        if (epoch + 1) % cfg.trainer.val_every_n_epochs == 0:
+            monitor, _ = evaluate_splits(
+                model, state, cfg, datasets, epoch, logger, gstep,
+                do_instance=flags["do_score"],
+            )
+            ckpts.save(state, epoch, monitor)
+    return state
+
+
+def test(cfg: Config):
+    model = GAPartNet(cfg.model)
+    datasets = build_datasets(cfg, "test")
+    logger = MetricLogger(cfg.trainer.log_file, cfg.trainer.use_wandb)
+    optimizer = adam(cfg.trainer.learning_rate)
+
+    first_split = next(s for s in SPLITS if len(datasets[s]) > 0)
+    example = _np_batch_to_device(
+        next(_iter_batches(datasets[first_split], cfg.data.val_batch_size, False))
+    )
+    state = create_train_state(model, example, optimizer, seed=cfg.trainer.seed)
+    if cfg.trainer.resume_ckpt:
+        p, b = load_warm_start(state.params, state.batch_stats, cfg.trainer.resume_ckpt)
+        state = state._replace(params=p, batch_stats=b)
+
+    _, metrics = evaluate_splits(
+        model, state, cfg, datasets, 0, logger, 0, do_instance=True
+    )
+    for k in sorted(metrics):
+        print(f"{k}: {metrics[k]:.2f}")
+    return metrics

@@ -1,0 +1,143 @@
+"""End-to-end fit/test smoke over synthetic data — the integration test the
+
+reference performs manually via few-shot debug mode (SURVEY.md section 4)."""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from gapartnet_tpu.data.synthetic import synthetic_cloud
+
+
+N_POINTS = 256
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("gapartnet_data")
+    rng = np.random.RandomState(0)
+    names = ["Box_100_00_000", "Box_101_00_000", "Remote_102_00_000", "Remote_103_00_000"]
+    for split in ("train", "val", "test_intra", "test_inter"):
+        d = root / split / "pth"
+        d.mkdir(parents=True)
+        for name in names[: 4 if split == "train" else 2]:
+            c = synthetic_cloud(rng, num_points=N_POINTS, num_parts=3)
+            np.savez(
+                d / f"{name}.npz",
+                xyz=c["points"][:, :3],
+                rgb=c["points"][:, 3:],
+                sem_labels=c["sem_labels"],
+                instance_labels=c["instance_labels"],
+                gt_npcs=c["gt_npcs"],
+            )
+    return root
+
+
+@pytest.fixture(scope="module")
+def config_file(tmp_path_factory, data_root):
+    cfg = {
+        "model": {
+            "class_path": "network.model.GAPartNet",
+            "init_args": {
+                "debug": True,
+                "in_channels": 6,
+                "num_part_classes": 10,
+                "backbone_type": "SparseUNet",
+                "backbone_cfg": {"channels": [8, 16], "block_repeat": 1},
+                "instance_seg_cfg": {
+                    "ball_query_radius": 0.1,
+                    "max_num_points_per_query": 8,
+                    "min_num_points_per_proposal": 3,
+                    "max_num_points_per_query_shift": 16,
+                    "score_fullscale": 28,
+                    "score_scale": 50,
+                },
+                "learning_rate": 0.001,
+                "training_schedule": [0, 1],
+                "max_points": N_POINTS,
+                "max_proposals": 16,
+                "max_instances": 8,
+            },
+        },
+        "data": {
+            "class_path": "dataset.gapartnet.GAPartNetInst",
+            "init_args": {
+                "root_dir": str(data_root),
+                "max_points": N_POINTS,
+                "train_batch_size": 2,
+                "val_batch_size": 2,
+                "pos_jitter": 0.1,
+                "color_jitter": 0.3,
+                "flip_prob": 0.3,
+                "rotate_prob": 0.3,
+                "max_instances": 8,
+            },
+        },
+        "trainer": {"max_epochs": 2},
+        "seed_everything": 233,
+    }
+    p = tmp_path_factory.mktemp("cfg") / "config.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return p
+
+
+def test_config_parsing(config_file):
+    from gapartnet_tpu.train.config import load_config
+
+    cfg = load_config(str(config_file))
+    assert cfg.model.channels == (8, 16)
+    assert cfg.model.max_points == N_POINTS
+    assert cfg.model.ball_query_radius == 0.1
+    assert cfg.trainer.training_schedule == (0, 1)
+    assert cfg.trainer.seed == 233
+    assert cfg.data.train_batch_size == 2
+
+    # dotted overrides (the reference CLI syntax)
+    cfg2 = load_config(
+        str(config_file),
+        overrides=[
+            ("model.init_args.training_schedule", "[0,0]"),
+            ("data.init_args.train_batch_size", "4"),
+        ],
+    )
+    assert cfg2.trainer.training_schedule == (0, 0)
+    assert cfg2.data.train_batch_size == 4
+
+
+def test_fit_and_test(config_file, tmp_path, monkeypatch):
+    from gapartnet_tpu.train.config import load_config
+    from gapartnet_tpu.train import trainer
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(str(config_file))
+    # capacity divisors must fit the tiny model (2 levels)
+    import dataclasses
+
+    cfg.model = dataclasses.replace(
+        cfg.model, level_capacity_divisors=(1, 2), ball_query_radius=0.1
+    )
+    state = trainer.fit(cfg)
+    assert state.step > 0
+
+    log = Path(cfg.trainer.log_file)
+    assert log.exists()
+    lines = [json.loads(l) for l in log.read_text().splitlines()]
+    keys = set().union(*[set(l) for l in lines])
+    # metric-name contract
+    assert "monitor_metrics/mean_mAP" in keys
+    assert "val/AP@50" in keys and "test_inter/miou" in keys
+    assert any(k.startswith("train_loss/") for k in keys)
+
+    # checkpoints got written
+    ckpts = list(Path(cfg.trainer.ckpt_dir).iterdir())
+    assert ckpts
+
+    # test subcommand restores the checkpoint and evaluates
+    cfg.trainer.resume_ckpt = str(sorted(ckpts)[-1])
+    metrics = trainer.test(cfg)
+    assert "monitor_metrics/mean_mAP" in metrics
+    assert np.isfinite(metrics["monitor_metrics/mean_mAP"])

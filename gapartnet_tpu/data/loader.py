@@ -205,13 +205,16 @@ class GAPartNetDataset:
                 self.pos_jitter, self.color_jitter,
                 self.flip_prob, self.rotate_prob,
             )
-        regions, nppi, isl, num_inst = generate_instance_info(
-            d["points"], d["sem_labels"], d["instance_labels"]
-        )
-        return self._pad(d, regions, nppi, isl, num_inst, n)
+        # native C++ instance stats when libgapdata built; NumPy otherwise
+        from gapartnet_tpu.data import native_loader
 
-    def _pad(self, d, regions, nppi, isl, num_inst, n):
-        mp, mi = self.max_points, self.max_instances
+        regions, nppi_p, isl_p, k = native_loader.instance_info(
+            d["points"], d["sem_labels"], d["instance_labels"], self.max_instances
+        )
+        return self._pad_arrays(d, regions, nppi_p, isl_p, k, n)
+
+    def _pad_arrays(self, d, regions, nppi_p, isl_p, k, n):
+        mp = self.max_points
         pad = mp - n
 
         def pad_pts(x, fill=0):
@@ -220,11 +223,6 @@ class GAPartNetDataset:
             widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
             return np.pad(x, widths, constant_values=fill)
 
-        nppi_p = np.zeros(mi, np.int32)
-        isl_p = np.full(mi, -1, np.int32)
-        k = min(num_inst, mi)
-        nppi_p[:k] = nppi[:k]
-        isl_p[:k] = isl[:k]
         return dict(
             pc_id=d["pc_id"],
             points=pad_pts(d["points"]),
@@ -235,7 +233,7 @@ class GAPartNetDataset:
             instance_regions=pad_pts(regions),
             num_points_per_instance=nppi_p,
             instance_sem_labels=isl_p,
-            num_instances=np.int32(min(num_inst, mi)),
+            num_instances=np.int32(k),
         )
 
 

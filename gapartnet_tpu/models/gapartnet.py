@@ -42,6 +42,7 @@ class GAPartNetConfig:
 
     in_channels: int = 6
     num_part_classes: int = 10
+    backbone_type: str = "SparseUNet"  # or "PointNet" (model.py:88-102)
     channels: Tuple[int, ...] = (16, 32, 48, 64, 80, 96, 112)
     block_repeat: int = 2
     # instance_seg_cfg (gapartnet.yaml:20-26)
@@ -185,13 +186,24 @@ class GAPartNet(nn.Module):
         # ------------------------------------------------------------------
         # input grid + backbone
         # ------------------------------------------------------------------
-        keys, vfeats, nvox, pc_voxel_id = prepare_input_grid(points, point_mask, cfg)
-        hierarchy = build_hierarchy(keys, nvox, list(cfg.input_capacities()))
-        voxel_out = SparseUNet(
-            cfg.channels, cfg.block_repeat, name="backbone"
-        )(vfeats, hierarchy, train)
-        pc_feats = _gather_per_point(voxel_out, pc_voxel_id)  # (B, N, fea)
         fea = cfg.channels[0]
+        if cfg.backbone_type == "SparseUNet":
+            keys, vfeats, nvox, pc_voxel_id = prepare_input_grid(
+                points, point_mask, cfg
+            )
+            hierarchy = build_hierarchy(keys, nvox, list(cfg.input_capacities()))
+            voxel_out = SparseUNet(
+                cfg.channels, cfg.block_repeat, name="backbone"
+            )(vfeats, hierarchy, train)
+            pc_feats = _gather_per_point(voxel_out, pc_voxel_id)  # (B, N, fea)
+        elif cfg.backbone_type == "PointNet":
+            from gapartnet_tpu.models.pointnet import PointNetSegBackbone
+
+            pc_feats = PointNetSegBackbone(fea, name="backbone")(
+                points, point_mask, train
+            )
+        else:
+            raise NotImplementedError(cfg.backbone_type)
 
         # ------------------------------------------------------------------
         # semantic segmentation head (model.py:104,160-194)

@@ -110,6 +110,8 @@ def config_from_yaml_dict(raw: Dict[str, Any]) -> Config:
     trainer_args = dict(raw.get("trainer") or {})
 
     mkw: Dict[str, Any] = {}
+    if "backbone_type" in model_args:
+        mkw["backbone_type"] = model_args["backbone_type"]
     backbone_cfg = model_args.pop("backbone_cfg", {}) or {}
     if "channels" in backbone_cfg:
         mkw["channels"] = _to_tuple(backbone_cfg["channels"])

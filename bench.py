@@ -32,13 +32,12 @@ def main():
     import __graft_entry__ as g
     from gapartnet_tpu.models.gapartnet import GAPartNet, GAPartNetConfig
 
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     cfg = GAPartNetConfig()
     model = GAPartNet(cfg)
     batch = g._make_batch(cfg.max_points, BATCH_SIZE, cfg.max_instances, seed=0)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "proposal_jitter": jax.random.PRNGKey(1)},
-        batch, train=False, do_cluster=True, do_score=True, do_npcs=True,
-    )
+    variables = g.jitted_init(model, batch)
 
     @jax.jit
     def infer(batch):

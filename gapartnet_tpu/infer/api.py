@@ -131,17 +131,23 @@ class GAPartNetInference:
                     "batch_stats": restored.get("batch_stats", {}),
                 }
             else:
-                # fresh init (useful for tests / benchmarking)
+                # fresh init (useful for tests / benchmarking); jitted — an
+                # eager init is pathologically slow on remote devices
                 dummy = self._wrap_points(
                     np.zeros((self.cfg.max_points, 6), np.float32)
                 )
-                variables = self.model.init(
-                    {
-                        "params": jax.random.PRNGKey(seed),
-                        "proposal_jitter": jax.random.PRNGKey(seed + 1),
-                    },
-                    dummy, train=False, do_cluster=True, do_score=True, do_npcs=True,
-                )
+
+                def _init(b):
+                    return self.model.init(
+                        {
+                            "params": jax.random.PRNGKey(seed),
+                            "proposal_jitter": jax.random.PRNGKey(seed + 1),
+                        },
+                        b, train=False, do_cluster=True, do_score=True,
+                        do_npcs=True,
+                    )
+
+                variables = jax.jit(_init)(dummy)
         self.variables = variables
 
         self._forward = jax.jit(

@@ -63,6 +63,9 @@ class GAPartNetConfig:
     val_min_num_points_per_proposal: int = 3
     val_nms_iou_threshold: float = 0.3
     val_ap_iou_threshold: float = 0.5
+    # clustering implementation: "hash" (fast TPU path) or "exact"
+    # (reference first-K semantics; O(N^2), for parity testing)
+    clustering_impl: str = "hash"
     # fixed-shape capacities (TPU-specific)
     voxel_size: Tuple[float, float, float] = (0.01, 0.01, 0.01)
     max_points: int = 20000
@@ -294,6 +297,7 @@ class GAPartNet(nn.Module):
                 cfg.max_num_points_per_query_shift,
                 cfg.min_num_points_per_proposal,
                 cfg.max_proposals,
+                impl=cfg.clustering_impl,
             )
         )(pt_xyz, stop_offsets, sem_preds, cluster_valid)
 

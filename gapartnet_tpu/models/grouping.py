@@ -63,19 +63,36 @@ def cluster_single(
     max_num_points_per_query_shift: int,
     min_num_points_per_proposal: int,
     max_proposals: int,
+    impl: str = "hash",
 ):
-    """One sample; vmap over the batch.  Returns SampleProposals."""
+    """One sample; vmap over the batch.  Returns SampleProposals.
+
+    impl="hash" (default): hash-grid CCL (ops/hash_ccl.py) — the fast TPU
+    path, density-capped per cell instead of the reference's per-query K cap.
+    impl="exact": first-K ball query + list CCL, bit-matching the reference
+    neighbor semantics (kept for parity testing; O(N^2)).
+    """
     n = pt_xyz.shape[0]
 
-    nbr1, _ = ball_query_single(
-        pt_xyz, sem_preds, valid, ball_query_radius, max_num_points_per_query
-    )
-    lab1 = connected_components_single(nbr1, valid)
-    nbr2, _ = ball_query_single(
-        pt_xyz + offsets, sem_preds, valid, ball_query_radius,
-        max_num_points_per_query_shift,
-    )
-    lab2 = connected_components_single(nbr2, valid)
+    if impl == "hash":
+        from gapartnet_tpu.ops.hash_ccl import hash_connected_components
+
+        lab1 = hash_connected_components(
+            pt_xyz, sem_preds, valid, ball_query_radius
+        )
+        lab2 = hash_connected_components(
+            pt_xyz + offsets, sem_preds, valid, ball_query_radius
+        )
+    else:
+        nbr1, _ = ball_query_single(
+            pt_xyz, sem_preds, valid, ball_query_radius, max_num_points_per_query
+        )
+        lab1 = connected_components_single(nbr1, valid)
+        nbr2, _ = ball_query_single(
+            pt_xyz + offsets, sem_preds, valid, ball_query_radius,
+            max_num_points_per_query_shift,
+        )
+        lab2 = connected_components_single(nbr2, valid)
 
     # entries: set-1 clusters keyed by [0, N), set-2 by [N, 2N)
     sentinel = 2 * n

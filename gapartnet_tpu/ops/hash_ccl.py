@@ -1,0 +1,162 @@
+"""Hash-grid connected components for radius clustering (fast path).
+
+Replaces the O(N^2) ball-query + list-based CCL pipeline for the dual-set
+clustering hot loop (reference epic_ops ball_query + ccl,
+grouping_utils.py:108-140).  This is also how the CUDA originals scale — via a
+spatial hash — re-thought for TPU:
+
+  * cell size s = radius / sqrt(3): all same-cell same-label points are
+    mutually within `radius` (cell diagonal == radius), so each (cell, label)
+    pair collapses into ONE graph node whose points form a clique.
+  * nodes are deduplicated packed keys (7-bit cell coords + 4-bit label); each
+    node keeps its first `reps` member points ("representatives").
+  * edges: for each of the 125 neighbor-cell offsets (|d|inf <= 2 covers every
+    pair of cells whose points can be within radius), nodes with the same
+    label are connected iff any representative pair lies within radius — a
+    (N, reps, reps) distance check per offset inside a lax.scan.
+  * CCL: pull-only min-label propagation with pointer jumping over the
+    (125, N) neighbor table — the rep-based edge relation is symmetric, so no
+    scatter push is needed.
+
+Deviations from the reference semantics (documented): the reference caps each
+point's neighbor list at K (50/300) in scan order; here density is capped by
+`reps` per (cell, label) node instead.  Both sparsify the same radius graph;
+components agree except when a single beyond-cap point is the only bridge
+between two otherwise-disconnected blobs.  Labels are normalized to the
+minimum member point index per component, matching the representative-id
+labeling the pipeline relies on.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+CELL_BITS = 7          # 128 cells per axis; extent 128 * r/sqrt(3) covers the
+                       # augmented unit-ball clouds for r = 0.04
+LABEL_BITS = 4         # < 16 semantic classes
+KEY_SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+def _pack_node(cell: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    c = 1 << CELL_BITS
+    return (
+        (((cell[..., 0] * c + cell[..., 1]) * c + cell[..., 2]) << LABEL_BITS)
+        | label
+    )
+
+
+@partial(jax.jit, static_argnames=("reps", "max_iters"))
+def hash_connected_components(
+    pt_xyz: jnp.ndarray,
+    sem_labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    radius: float,
+    reps: int = 16,
+    max_iters: int = 32,
+) -> jnp.ndarray:
+    """One sample; vmap over the batch.
+
+    Returns (N,) int32 labels: the minimum point index of each connected
+    component (invalid points label themselves).
+    """
+    n = pt_xyz.shape[0]
+    r2 = jnp.float32(radius * radius)
+    s = radius / (3.0**0.5)
+    big = jnp.float32(1e9)
+
+    mn = jnp.min(jnp.where(valid[:, None], pt_xyz, big), axis=0) - s
+    cell = jnp.floor((pt_xyz - mn) / s).astype(jnp.int32)
+    in_grid = jnp.all((cell >= 0) & (cell < (1 << CELL_BITS)), axis=-1)
+    ok = valid & in_grid & (sem_labels >= 0) & (sem_labels < (1 << LABEL_BITS))
+
+    keys = jnp.where(ok, _pack_node(cell, sem_labels), KEY_SENTINEL)
+    order = jnp.argsort(keys)  # stable: point order preserved within a node
+    sk = keys[order]
+    sorted_ok = sk != KEY_SENTINEL
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & sorted_ok
+    node_of_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+    num_nodes = first.sum().astype(jnp.int32)
+    point_node = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.where(sorted_ok, node_of_sorted, -1)
+    )
+    node_keys = jnp.full((n,), KEY_SENTINEL, jnp.int32).at[
+        jnp.where(first, node_of_sorted, n)
+    ].set(sk, mode="drop")
+
+    # rank of each point within its node (scan-order == point-index order)
+    node_start = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(first, node_of_sorted, n)
+    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    rank_sorted = jnp.arange(n, dtype=jnp.int32) - node_start[
+        jnp.clip(node_of_sorted, 0, n - 1)
+    ]
+    # representative table: first `reps` member points of each node
+    rep_table = jnp.full((n, reps), -1, jnp.int32).at[
+        jnp.where(sorted_ok & (rank_sorted < reps), node_of_sorted, n),
+        jnp.clip(rank_sorted, 0, reps - 1),
+    ].set(order.astype(jnp.int32), mode="drop")
+
+    rep_ok = rep_table >= 0
+    rep_xyz = pt_xyz[rep_table.clip(0)]              # (N, reps, 3)
+
+    node_cell_key = node_keys >> LABEL_BITS
+    c = 1 << CELL_BITS
+    node_cell = jnp.stack(
+        [(node_cell_key // (c * c)) % c, (node_cell_key // c) % c, node_cell_key % c],
+        axis=-1,
+    )
+    node_label = node_keys & ((1 << LABEL_BITS) - 1)
+    node_valid = jnp.arange(n) < num_nodes
+
+    # 125 neighbor-cell offsets
+    rng = jnp.arange(-2, 3)
+    offsets = jnp.stack(jnp.meshgrid(rng, rng, rng, indexing="ij"), -1).reshape(-1, 3)
+
+    def edge_step(_, off):
+        tgt_cell = node_cell + off
+        tin = jnp.all((tgt_cell >= 0) & (tgt_cell < c), axis=-1) & node_valid
+        tgt_key = jnp.where(tin, _pack_node(tgt_cell, node_label), KEY_SENTINEL - 1)
+        vid = jnp.clip(jnp.searchsorted(node_keys, tgt_key), 0, n - 1).astype(jnp.int32)
+        found = (node_keys[vid] == tgt_key) & tin
+        # any representative pair within radius? (mask padded rep slots —
+        # they share a coordinate and would alias to distance 0)
+        v_xyz = rep_xyz[vid]                              # (N, reps, 3)
+        v_ok = rep_ok[vid]
+        d2 = jnp.sum(
+            (rep_xyz[:, :, None, :] - v_xyz[:, None, :, :]) ** 2, axis=-1
+        )
+        pair_ok = rep_ok[:, :, None] & v_ok[:, None, :]
+        connected = found & jnp.any(pair_ok & (d2 <= r2), axis=(1, 2))
+        return None, (jnp.where(connected, vid, -1),)
+
+    _, (nbr_ids,) = lax.scan(edge_step, None, offsets)    # (125, N)
+
+    # pull-only CCL with pointer jumping (edge relation is symmetric)
+    labels0 = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(state):
+        labels, prev, it = state
+        return (it < max_iters) & jnp.any(labels != prev)
+
+    def body(state):
+        labels, _, it = state
+        prev = labels
+        nl = jnp.where(nbr_ids >= 0, labels[nbr_ids.clip(0)], n)  # (125, N)
+        labels = jnp.minimum(labels, jnp.min(nl, axis=0))
+        labels = labels[labels]
+        labels = labels[labels]
+        return labels, prev, it + 1
+
+    node_root, _, _ = lax.while_loop(
+        cond, body, (labels0, jnp.full((n,), -1, jnp.int32), jnp.int32(0))
+    )
+
+    # normalize: min point index per component
+    root_per_point = jnp.where(ok, node_root[point_node.clip(0)], -1)
+    min_point = jnp.full((n,), n, jnp.int32).at[
+        jnp.where(ok, root_per_point.clip(0), n)
+    ].min(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    out = jnp.where(ok, min_point[root_per_point.clip(0)], jnp.arange(n, dtype=jnp.int32))
+    return out

@@ -73,18 +73,17 @@ def build_subm_rulebook(keys: jnp.ndarray, kernel_size: int = 3) -> jnp.ndarray:
     v = keys.shape[0]
     coords = unpack_key(keys)  # (V, 3); sentinel unpacks to garbage, masked below
     valid = keys != KEY_SENTINEL
-    offs = kernel_offsets(kernel_size)
+    offs = jnp.asarray(kernel_offsets(kernel_size), jnp.int32)  # (K, 3)
 
-    tables = []
-    for off in offs:
-        tgt = coords + jnp.array(off, jnp.int32)
-        in_bounds = jnp.all((tgt >= 0) & (tgt < COORD_MAX), axis=-1) & valid
-        tgt_key = jnp.where(in_bounds, pack_coords(tgt), KEY_SENTINEL - 1)
-        idx = jnp.searchsorted(keys, tgt_key).astype(jnp.int32)
-        idx = jnp.clip(idx, 0, v - 1)
-        found = (keys[idx] == tgt_key) & in_bounds
-        tables.append(jnp.where(found, idx, -1))
-    return jnp.stack(tables, axis=0)
+    tgt = coords[None, :, :] + offs[:, None, :]                  # (K, V, 3)
+    in_bounds = jnp.all((tgt >= 0) & (tgt < COORD_MAX), axis=-1) & valid[None, :]
+    tgt_key = jnp.where(in_bounds, pack_coords(tgt), KEY_SENTINEL - 1)
+    # one batched binary search over all K*V targets
+    idx = jnp.clip(
+        jnp.searchsorted(keys, tgt_key.reshape(-1)).astype(jnp.int32), 0, v - 1
+    ).reshape(tgt_key.shape)
+    found = (keys[idx] == tgt_key) & in_bounds
+    return jnp.where(found, idx, -1)
 
 
 class DownsampleMap(NamedTuple):

@@ -50,10 +50,18 @@ def create_train_state(
     optimizer: optax.GradientTransformation,
     seed: int = 0,
 ) -> TrainState:
-    variables = model.init(
-        {"params": jax.random.PRNGKey(seed), "proposal_jitter": jax.random.PRNGKey(seed + 1)},
-        example_batch, train=False, do_cluster=True, do_score=True, do_npcs=True,
-    )
+    # init under jit: an eager flax init dispatches thousands of tiny ops,
+    # pathological through a remote-device tunnel
+    def _init(b):
+        return model.init(
+            {
+                "params": jax.random.PRNGKey(seed),
+                "proposal_jitter": jax.random.PRNGKey(seed + 1),
+            },
+            b, train=False, do_cluster=True, do_score=True, do_npcs=True,
+        )
+
+    variables = jax.jit(_init)(example_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     return TrainState(

@@ -1,0 +1,93 @@
+import jax.numpy as jnp
+import numpy as np
+
+from gapartnet_tpu.ops.hash_ccl import hash_connected_components
+
+
+def _radius_graph_components(xyz, sem, valid, radius):
+    """Uncapped radius-graph components oracle (min point index labels)."""
+    n = len(xyz)
+    labels = np.arange(n)
+    idx = np.nonzero(valid)[0]
+    r2 = radius * radius
+    # union-find
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for ii, i in enumerate(idx):
+        for j in idx[ii + 1:]:
+            if sem[i] != sem[j]:
+                continue
+            d = xyz[i] - xyz[j]
+            if (d * d).sum() <= r2:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    for i in idx:
+        labels[i] = find(i)
+    return labels
+
+
+def _partition(labels, valid):
+    groups = {}
+    for i in np.nonzero(valid)[0]:
+        groups.setdefault(int(labels[i]), []).append(int(i))
+    return sorted(tuple(sorted(v)) for v in groups.values())
+
+
+def test_hash_ccl_matches_radius_graph(rng):
+    n = 200
+    xyz = rng.rand(n, 3).astype(np.float32) * 0.5
+    sem = rng.randint(0, 3, n).astype(np.int32)
+    valid = sem > 0
+    r = 0.04
+    got = np.asarray(
+        hash_connected_components(
+            jnp.asarray(xyz), jnp.asarray(sem), jnp.asarray(valid), r
+        )
+    )
+    want = _radius_graph_components(xyz, sem, valid, r)
+    assert _partition(got, valid) == _partition(want, valid)
+    # labels are the min point index of each component
+    for comp in _partition(got, valid):
+        assert got[comp[0]] == comp[0]
+        assert all(got[i] == comp[0] for i in comp)
+
+
+def test_hash_ccl_dense_blobs(rng):
+    """Blob-shaped clusters (the shifted-set regime: points collapse to
+
+    centroids) must come out as single components even beyond the rep cap."""
+    blobs = []
+    sems = []
+    for k, center in enumerate([[0, 0, 0], [1, 1, 1], [0.05, 0, 0]]):
+        blobs.append(center + rng.randn(300, 3).astype(np.float32) * 0.005)
+        sems.append(np.full(300, 1 + (k % 2), np.int32))
+    xyz = np.concatenate(blobs)
+    sem = np.concatenate(sems)
+    valid = np.ones(len(xyz), bool)
+    got = np.asarray(
+        hash_connected_components(
+            jnp.asarray(xyz), jnp.asarray(sem), jnp.asarray(valid), 0.04, reps=8
+        )
+    )
+    want = _radius_graph_components(xyz, sem, valid, 0.04)
+    assert _partition(got, valid) == _partition(want, valid)
+
+
+def test_hash_ccl_invalid_points_isolated(rng):
+    xyz = np.zeros((10, 3), np.float32)  # all identical positions
+    sem = np.ones(10, np.int32)
+    valid = np.arange(10) < 5
+    got = np.asarray(
+        hash_connected_components(
+            jnp.asarray(xyz), jnp.asarray(sem), jnp.asarray(valid), 0.04
+        )
+    )
+    np.testing.assert_array_equal(got[:5], 0)     # one component
+    np.testing.assert_array_equal(got[5:], np.arange(5, 10))  # isolated selves

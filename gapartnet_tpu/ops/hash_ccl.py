@@ -110,16 +110,23 @@ def hash_connected_components(
     node_label = node_keys & ((1 << LABEL_BITS) - 1)
     node_valid = jnp.arange(n) < num_nodes
 
-    # 125 neighbor-cell offsets
+    # 125 neighbor-cell offsets; all node lookups batched into ONE sort-based
+    # searchsorted (serial per-offset binary searches dominated the runtime)
     rng = jnp.arange(-2, 3)
     offsets = jnp.stack(jnp.meshgrid(rng, rng, rng, indexing="ij"), -1).reshape(-1, 3)
 
-    def edge_step(_, off):
-        tgt_cell = node_cell + off
-        tin = jnp.all((tgt_cell >= 0) & (tgt_cell < c), axis=-1) & node_valid
-        tgt_key = jnp.where(tin, _pack_node(tgt_cell, node_label), KEY_SENTINEL - 1)
-        vid = jnp.clip(jnp.searchsorted(node_keys, tgt_key), 0, n - 1).astype(jnp.int32)
-        found = (node_keys[vid] == tgt_key) & tin
+    tgt_cell = node_cell[None, :, :] + offsets[:, None, :]          # (125, N, 3)
+    tin = jnp.all((tgt_cell >= 0) & (tgt_cell < c), axis=-1) & node_valid[None, :]
+    tgt_key = jnp.where(
+        tin, _pack_node(tgt_cell, node_label[None, :]), KEY_SENTINEL - 1
+    )
+    vid_all = jnp.clip(
+        jnp.searchsorted(node_keys, tgt_key.reshape(-1), method="sort"), 0, n - 1
+    ).astype(jnp.int32).reshape(125, n)
+    found_all = (node_keys[vid_all] == tgt_key) & tin
+
+    def edge_step(_, args):
+        vid, found = args
         # any representative pair within radius? (mask padded rep slots —
         # they share a coordinate and would alias to distance 0)
         v_xyz = rep_xyz[vid]                              # (N, reps, 3)
@@ -131,7 +138,7 @@ def hash_connected_components(
         connected = found & jnp.any(pair_ok & (d2 <= r2), axis=(1, 2))
         return None, (jnp.where(connected, vid, -1),)
 
-    _, (nbr_ids,) = lax.scan(edge_step, None, offsets)    # (125, N)
+    _, (nbr_ids,) = lax.scan(edge_step, None, (vid_all, found_all))  # (125, N)
 
     # pull-only CCL with pointer jumping (edge relation is symmetric)
     labels0 = jnp.arange(n, dtype=jnp.int32)

@@ -78,9 +78,11 @@ def build_subm_rulebook(keys: jnp.ndarray, kernel_size: int = 3) -> jnp.ndarray:
     tgt = coords[None, :, :] + offs[:, None, :]                  # (K, V, 3)
     in_bounds = jnp.all((tgt >= 0) & (tgt < COORD_MAX), axis=-1) & valid[None, :]
     tgt_key = jnp.where(in_bounds, pack_coords(tgt), KEY_SENTINEL - 1)
-    # one batched binary search over all K*V targets
+    # one batched lookup over all K*V targets; method="sort" lowers to one
+    # fused sort instead of log2(V) serial gather rounds — much faster on TPU
     idx = jnp.clip(
-        jnp.searchsorted(keys, tgt_key.reshape(-1)).astype(jnp.int32), 0, v - 1
+        jnp.searchsorted(keys, tgt_key.reshape(-1), method="sort").astype(jnp.int32),
+        0, v - 1,
     ).reshape(tgt_key.shape)
     found = (keys[idx] == tgt_key) & in_bounds
     return jnp.where(found, idx, -1)

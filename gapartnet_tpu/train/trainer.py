@@ -42,6 +42,26 @@ from gapartnet_tpu.train.loop import (
 SPLITS = ("val", "test_intra", "test_inter")
 
 
+def run_name(cfg: Config) -> str:
+    """Config-derived run name (reference train.py:7-41 semantics:
+
+    backbone tag + focal/dice flags + batch size + augmentation params +
+    timestamp)."""
+    model_str = {"SparseUNet": "SU", "PointNet": "PN"}.get(
+        cfg.model.backbone_type, cfg.model.backbone_type
+    )
+    model_str += "_" + ("T" if cfg.model.use_sem_focal_loss else "F")
+    model_str += "T" if cfg.model.use_sem_dice_loss else "F"
+    d = cfg.data
+    data_str = (
+        f"BS{d.train_batch_size}_"
+        f"Aug{d.pos_jitter}-{d.color_jitter}-{d.flip_prob}-{d.rotate_prob}"
+    )
+    from datetime import datetime
+
+    return f"{model_str}_{data_str}_{datetime.now().strftime('%m-%d-%H-%M')}"
+
+
 class MetricLogger:
     def __init__(self, log_file: str, use_wandb: bool = False, run_name: str = ""):
         self.path = Path(log_file)
@@ -64,10 +84,46 @@ class MetricLogger:
             self.wandb.log(metrics, step=step)
 
 
-def _np_batch_to_device(raw: dict) -> PointCloudBatch:
+def _np_batch_to_device(raw: dict, mesh=None) -> PointCloudBatch:
     ids = raw.get("pc_ids")
     arrays = {k: jnp.asarray(v) for k, v in raw.items() if k != "pc_ids"}
-    return PointCloudBatch(**arrays, pc_ids=ids)
+    batch = PointCloudBatch(**arrays, pc_ids=ids)
+    if mesh is not None:
+        from gapartnet_tpu.parallel.mesh import shard_batch
+
+        batch = shard_batch(batch, mesh)
+    return batch
+
+
+class Prefetcher:
+    """Overlaps host-side sample loading with device compute (replaces the
+
+    reference's num_workers=16 dataloader processes with a thread pool —
+    loading is NumPy/IO bound and releases the GIL)."""
+
+    def __init__(self, gen, depth: int = 2, workers: int = 4):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._done = object()
+
+        def run():
+            try:
+                for item in gen:
+                    self._q.put(item)
+            finally:
+                self._q.put(self._done)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._done:
+                return
+            yield item
 
 
 def _iter_batches(dataset: GAPartNetDataset, batch_size: int, drop_last: bool,
@@ -272,15 +328,31 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
 
 
 def fit(cfg: Config):
+    import jax as _jax
+
     model = GAPartNet(cfg.model)
     datasets = build_datasets(cfg, "fit")
-    logger = MetricLogger(cfg.trainer.log_file, cfg.trainer.use_wandb)
+    logger = MetricLogger(
+        cfg.trainer.log_file, cfg.trainer.use_wandb, run_name=run_name(cfg)
+    )
     optimizer = adam(cfg.trainer.learning_rate)
 
+    # data-parallel mesh over all local devices (batch must divide evenly)
+    mesh = None
+    if _jax.device_count() > 1 and cfg.data.train_batch_size % _jax.device_count() == 0:
+        from gapartnet_tpu.parallel.mesh import make_mesh, replicate_tree
+
+        mesh = make_mesh()
+
     example = _np_batch_to_device(
-        next(_iter_batches(datasets["train"], cfg.data.train_batch_size, True, 0))
+        next(_iter_batches(datasets["train"], cfg.data.train_batch_size, True, 0)),
+        mesh,
     )
     state = create_train_state(model, example, optimizer, seed=cfg.trainer.seed)
+    if mesh is not None:
+        from gapartnet_tpu.parallel.mesh import replicate_tree
+
+        state = replicate_tree(state, mesh)
     if cfg.trainer.resume_ckpt:
         p, b = load_warm_start(state.params, state.batch_stats, cfg.trainer.resume_ckpt)
         state = state._replace(params=p, batch_stats=b)
@@ -298,11 +370,14 @@ def fit(cfg: Config):
 
         t0 = time.time()
         losses = []
-        for raw in _iter_batches(
-            datasets["train"], cfg.data.train_batch_size, drop_last=True,
-            shuffle_seed=cfg.trainer.seed + epoch,
-        ):
-            batch = _np_batch_to_device(raw)
+        batches = Prefetcher(
+            _iter_batches(
+                datasets["train"], cfg.data.train_batch_size, drop_last=True,
+                shuffle_seed=cfg.trainer.seed + epoch,
+            )
+        )
+        for raw in batches:
+            batch = _np_batch_to_device(raw, mesh)
             rng, sub = jax.random.split(rng)
             state, m = train_step(state, batch, sub)
             losses.append(m)

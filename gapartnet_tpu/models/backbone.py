@@ -43,7 +43,11 @@ def _kernel_init(key, shape, dtype=jnp.float32):
 
 
 class SubMConv(nn.Module):
-    """Submanifold conv (k=3) on one grid level; weights (27, Cin, Cout)."""
+    """Submanifold conv (k=3) on one grid level; weights (27, Cin, Cout).
+
+    On TPU the gather-GEMM runs as a Pallas kernel with the feature matrix
+    VMEM-resident (ops/pallas_conv.py); elsewhere the XLA formulation is used.
+    """
 
     out_channels: int
 
@@ -52,6 +56,10 @@ class SubMConv(nn.Module):
         w = self.param(
             "kernel", _kernel_init, (27, features.shape[-1], self.out_channels)
         )
+        from gapartnet_tpu.ops import pallas_conv
+
+        if pallas_conv.enabled() and pallas_conv.supported(features[0], nbr[0]):
+            return pallas_conv.subm_conv_pallas(features, nbr, w)
         return subm_conv_apply(features, nbr, w)
 
 

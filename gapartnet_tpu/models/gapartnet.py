@@ -74,6 +74,11 @@ class GAPartNetConfig:
     # per-UNet-level voxel capacity schedule (fractions of the input capacity)
     level_capacity_divisors: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
     proposal_level_divisors: Tuple[int, ...] = (1, 2)
+    # voxel capacity of the proposal (ScoreNet/NPCS) grid.  Entries are 2N
+    # (every valid point appears once per cluster set) but distinct proposal
+    # voxels are far fewer after the min-points filter; 0 means "use
+    # max_points" (overflow drops the highest keys, tracked per step).
+    proposal_voxel_capacity: int = 0
 
     def input_capacities(self) -> Tuple[int, ...]:
         return tuple(
@@ -81,8 +86,8 @@ class GAPartNetConfig:
         )
 
     def proposal_capacities(self) -> Tuple[int, ...]:
-        e = 2 * self.max_points
-        return tuple(max(e // d, 64) for d in self.proposal_level_divisors)
+        v0 = self.proposal_voxel_capacity or self.max_points
+        return tuple(max(v0 // d, 64) for d in self.proposal_level_divisors)
 
 
 @struct.dataclass
@@ -313,16 +318,24 @@ class GAPartNet(nn.Module):
             )
         )(pt_xyz, prop)
 
+        # cap the proposal-grid voxel capacity (keys are sorted, so slicing
+        # keeps the lowest keys deterministically; overflow entries detach)
+        vcap = cfg.proposal_capacities()[0]
+        grid_keys = grid.keys[:, :vcap]
+        grid_nvox = jnp.minimum(grid.num_voxels, vcap)
+        entry_voxel_id = jnp.where(
+            grid.entry_voxel_id < vcap, grid.entry_voxel_id, -1
+        )
+
         prop_hier = build_hierarchy(
-            grid.keys, grid.num_voxels, list(cfg.proposal_capacities())
+            grid_keys, grid_nvox, list(cfg.proposal_capacities())
         )
         entry_feats = _gather_entries(pc_feats, prop.entry_point, prop.entry_mask)
-        entry_voxel_ok = prop.entry_mask & (grid.entry_voxel_id >= 0)
+        entry_voxel_ok = prop.entry_mask & (entry_voxel_id >= 0)
         # voxel features = mean of entry features (reduction="mean")
-        e_cap = prop.entry_point.shape[1]
         prop_vfeats = jax.vmap(
-            lambda f, vid, m: segment_mean(f, vid.clip(0), e_cap, mask=m)
-        )(entry_feats, grid.entry_voxel_id, entry_voxel_ok)
+            lambda f, vid, m: segment_mean(f, vid.clip(0), vcap, mask=m)
+        )(entry_feats, entry_voxel_id, entry_voxel_ok)
 
         # proposal representative point (min point index; the reference takes
         # its first entry after sorting, model.py:552-557)
@@ -369,7 +382,7 @@ class GAPartNet(nn.Module):
                 cfg.channels[:2], cfg.block_repeat, without_stem=True,
                 name="score_unet",
             )(prop_vfeats, prop_hier, train)
-            entry_sf = _gather_entries_from_voxels(sfeat, grid.entry_voxel_id, prop.entry_mask)
+            entry_sf = _gather_entries_from_voxels(sfeat, entry_voxel_id, prop.entry_mask)
             pooled = jax.vmap(
                 lambda f, pid, m: segment_max(f, pid.clip(0), cfg.max_proposals, mask=m)
             )(entry_sf, prop.entry_proposal, prop.entry_mask)
@@ -405,7 +418,7 @@ class GAPartNet(nn.Module):
             )(prop_vfeats, prop_hier, train)
             npcs_all = nn.Dense(3 * (c - 1), name="npcs_head")(nfeat)
             entry_npcs = _gather_entries_from_voxels(
-                npcs_all, grid.entry_voxel_id, prop.entry_mask
+                npcs_all, entry_voxel_id, prop.entry_mask
             )  # (B, 2N, 27)
             entry_npcs = entry_npcs.reshape(b, -1, c - 1, 3)
             entry_sem_pred = _gather_entries(

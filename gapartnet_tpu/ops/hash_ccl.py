@@ -36,6 +36,8 @@ from jax import lax
 CELL_BITS = 7          # 128 cells per axis; extent 128 * r/sqrt(3) covers the
                        # augmented unit-ball clouds for r = 0.04
 LABEL_BITS = 4         # < 16 semantic classes
+MAX_LABELS_PER_CELL = 4  # probe depth in the dense cell table; a 2.3 cm cell
+                         # rarely straddles more than a few part classes
 KEY_SENTINEL = jnp.iinfo(jnp.int32).max
 
 
@@ -110,20 +112,40 @@ def hash_connected_components(
     node_label = node_keys & ((1 << LABEL_BITS) - 1)
     node_valid = jnp.arange(n) < num_nodes
 
-    # 125 neighbor-cell offsets; all node lookups batched into ONE sort-based
-    # searchsorted (serial per-offset binary searches dominated the runtime)
+    # Dense cell-start table for O(1) neighbor-node lookup: nodes are sorted
+    # by (cell, label) key, so each cell's nodes are contiguous; a 128^3 int32
+    # table maps cell -> first node rank.  This replaces sort/searchsorted
+    # lookups (TPU sorts were the dominant cost) with one scatter + gathers.
+    num_cells = c * c * c
+    first_in_cell = jnp.concatenate(
+        [jnp.ones((1,), bool), node_cell_key[1:] != node_cell_key[:-1]]
+    ) & node_valid
+    cell_start = jnp.full((num_cells,), -1, jnp.int32).at[
+        jnp.where(first_in_cell, node_cell_key, num_cells)
+    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+    # 125 neighbor-cell offsets
     rng = jnp.arange(-2, 3)
     offsets = jnp.stack(jnp.meshgrid(rng, rng, rng, indexing="ij"), -1).reshape(-1, 3)
 
     tgt_cell = node_cell[None, :, :] + offsets[:, None, :]          # (125, N, 3)
     tin = jnp.all((tgt_cell >= 0) & (tgt_cell < c), axis=-1) & node_valid[None, :]
+    tgt_cell_key = (
+        tgt_cell[..., 0] * c + tgt_cell[..., 1]
+    ) * c + tgt_cell[..., 2]
     tgt_key = jnp.where(
         tin, _pack_node(tgt_cell, node_label[None, :]), KEY_SENTINEL - 1
     )
-    vid_all = jnp.clip(
-        jnp.searchsorted(node_keys, tgt_key.reshape(-1), method="sort"), 0, n - 1
-    ).astype(jnp.int32).reshape(125, n)
-    found_all = (node_keys[vid_all] == tgt_key) & tin
+    start = cell_start[jnp.where(tin, tgt_cell_key, 0)]             # (125, N)
+    # a cell holds at most a handful of distinct labels; probe the first
+    # MAX_LABELS_PER_CELL contiguous node slots for the label match
+    vid_all = jnp.full(tgt_key.shape, 0, jnp.int32)
+    found_all = jnp.zeros(tgt_key.shape, bool)
+    for j in range(MAX_LABELS_PER_CELL):
+        cand = jnp.clip(start + j, 0, n - 1)
+        hit = (start >= 0) & (node_keys[cand] == tgt_key) & tin
+        vid_all = jnp.where(hit & ~found_all, cand, vid_all)
+        found_all = found_all | hit
 
     def edge_step(_, args):
         vid, found = args

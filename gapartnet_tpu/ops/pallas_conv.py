@@ -1,16 +1,18 @@
 """Pallas TPU kernel for submanifold sparse convolution.
 
 The XLA formulation (ops/sparse_conv.subm_conv_apply) gathers 27 neighbor
-feature rows per voxel from HBM; TPU random gathers run at a few elements per
-cycle, which made these convs gather-bound.  Here the whole per-sample feature
-matrix (V x Cin, ~1-3 MB for this model family) is pinned in VMEM, the 27-tap
-gather happens at VMEM speed, and each tile issues one (TILE, 27*Cin) @
-(27*Cin, Cout) MXU matmul.
+feature rows per voxel from HBM; TPU random gathers run at ~0.1 element/cycle,
+which made these convs gather-bound.  Here the per-sample feature matrix stays
+VMEM-resident and the taps are fetched with Mosaic's `tpu.dynamic_gather`
+(via jnp.take_along_axis), which requires table shape == index shape: the
+feature table is padded to exactly 27 * TILE rows, and each grid step's
+full-table gather produces the 27 taps for TILE output voxels, followed by 27
+small MXU matmuls.
 
-The backward pass reuses the same kernel with the tap-reversed rulebook and
-transposed weights: output site i reads neighbor j at offset o iff j reads i
-at offset -o, so d_feats = subm_conv(d_out, nbr[::-1], W_rev_transposed).
-d_W re-gathers features once per backward (einsum in XLA).
+The backward pass reuses the same kernel: output site i reads neighbor j at
+offset o iff j reads i at offset -o, and the tap enumeration reversal negates
+offsets, so d_feats = subm_conv(d_out, nbr, W_tap_reversed_transposed).
+d_W re-gathers features once per backward (XLA einsum).
 """
 
 from functools import partial
@@ -20,49 +22,68 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 256
+K_TAPS = 27
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
 
 
 def _kernel(feats_ref, nbr_ref, w_ref, out_ref):
-    """feats: (V, Cin) VMEM-resident; nbr tile: (K, TILE); w: (K*Cin, Cout)."""
-    k = nbr_ref.shape[0]
-    cin = feats_ref.shape[1]
-    idx = nbr_ref[...]                                  # (K, TILE)
-    feats = feats_ref[...]                              # (V, Cin)
-    g = jnp.take(feats, idx.reshape(-1).clip(0), axis=0)  # (K*TILE, Cin)
-    g = jnp.where(idx.reshape(-1, 1) >= 0, g, 0.0)
-    g = g.reshape(k, -1, cin).transpose(1, 0, 2).reshape(-1, k * cin)
-    out_ref[...] = jnp.dot(g, w_ref[...], preferred_element_type=jnp.float32)
+    """feats: (27*TILE, Cin) VMEM table; nbr tile: (27, TILE);
+
+    w: (27, Cin, Cout); out: (TILE, Cout)."""
+    vpad, cin = feats_ref.shape
+    k, tile = nbr_ref.shape
+    cout = w_ref.shape[-1]
+
+    idx = nbr_ref[...].reshape(-1)                     # (27*TILE,) == (vpad,)
+    safe = jnp.broadcast_to(idx.clip(0)[:, None], (vpad, cin))
+    g = jnp.take_along_axis(feats_ref[...], safe, axis=0)   # (vpad, cin)
+    g = jnp.where((idx >= 0)[:, None], g, 0.0)
+    g3 = g.reshape(k, tile, cin)
+
+    acc = jnp.zeros((tile, cout), jnp.float32)
+    for kk in range(k):
+        acc = acc + jnp.dot(
+            g3[kk], w_ref[kk], preferred_element_type=jnp.float32
+        )
+    out_ref[...] = acc
 
 
 def _subm_conv_pallas_single(features, nbr, weights):
     v, cin = features.shape
     k = nbr.shape[0]
+    assert k == K_TAPS, k
     cout = weights.shape[-1]
-    w2 = weights.reshape(k * cin, cout)
-    num_tiles = -(-v // TILE)
-    vpad = num_tiles * TILE
-    if vpad != v:
-        nbr = jnp.pad(nbr, ((0, 0), (0, vpad - v)), constant_values=-1)
+
+    # table rows must equal 27 * TILE (Mosaic dynamic_gather shape rule)
+    tile = _round_up(-(-v // K_TAPS), 8)
+    vpad = K_TAPS * tile
+    feats_p = jnp.pad(features, ((0, vpad - v), (0, 0)))
+    num_tiles = -(-v // tile)
+    npad = num_tiles * tile
+    nbr_p = jnp.pad(nbr, ((0, 0), (0, npad - v)), constant_values=-1)
 
     out = pl.pallas_call(
         _kernel,
         grid=(num_tiles,),
         in_specs=[
-            # whole feature matrix resident in VMEM across all grid steps
-            pl.BlockSpec((v, cin), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * cin, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((vpad, cin), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_TAPS, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (K_TAPS, cin, cout), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((TILE, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((vpad, cout), jnp.float32),
-    )(features.astype(jnp.float32), nbr, w2.astype(jnp.float32))
+        out_specs=pl.BlockSpec((tile, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, cout), jnp.float32),
+    )(feats_p.astype(jnp.float32), nbr_p, weights.astype(jnp.float32))
     return out[:v]
 
 
 @jax.custom_vjp
 def subm_conv_pallas(features, nbr, weights):
-    """features (B, V, Cin), nbr (B, K, V), weights (K, Cin, Cout)."""
+    """features (B, V, Cin), nbr (B, 27, V), weights (27, Cin, Cout)."""
     return jax.vmap(lambda f, n: _subm_conv_pallas_single(f, n, weights))(
         features, nbr
     )
@@ -74,7 +95,6 @@ def _fwd(features, nbr, weights):
 
 def _bwd(res, g):
     features, nbr, weights = res
-    k = weights.shape[0]
     # d_feats[j] = sum_m g[nbr_m(j)] @ W[26-m]^T  (the pair (i reads j at
     # offset o) transposes to (j reads i at -o); tap enumeration reversal
     # negates offsets, so the rulebook stays as-is and the WEIGHTS reverse)
@@ -106,9 +126,9 @@ def enabled() -> bool:
 
 
 def supported(features, nbr) -> bool:
-    """VMEM residency check: feature matrix + tile buffers must fit."""
+    """VMEM residency check: padded table + tile buffers must fit."""
     v, cin = features.shape[-2:]
-    k = nbr.shape[-2]
-    feat_bytes = v * cin * 4
-    tile_bytes = TILE * k * cin * 4 * 2
-    return feat_bytes + tile_bytes < 10 * 1024 * 1024
+    tile = _round_up(-(-v // K_TAPS), 8)
+    vpad = K_TAPS * tile
+    feat_bytes = vpad * cin * 4
+    return feat_bytes * 3 < 12 * 1024 * 1024

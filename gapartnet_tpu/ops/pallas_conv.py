@@ -30,23 +30,26 @@ def _round_up(x, m):
 
 
 def _kernel(feats_ref, nbr_ref, w_ref, out_ref):
-    """feats: (27*TILE, Cin) VMEM table; nbr tile: (27, TILE);
+    """Channel-major layout: feats (Cin, V), nbr (27, V), w (27, Cout, Cin),
 
-    w: (27, Cin, Cout); out: (TILE, Cout)."""
-    vpad, cin = feats_ref.shape
-    k, tile = nbr_ref.shape
-    cout = w_ref.shape[-1]
+    out (Cout, V).  Per tap: lane-wise dynamic_gather of the tap's neighbor
+    columns, then one (Cout, Cin) @ (Cin, V) MXU matmul, accumulated.
+    V rides the lane dimension, so a 16-channel feature matrix wastes no VMEM
+    tiles and the matmul N dimension is large.
+    """
+    cin, v = feats_ref.shape
+    k = nbr_ref.shape[0]
+    cout = w_ref.shape[1]
+    feats = feats_ref[...]
 
-    idx = nbr_ref[...].reshape(-1)                     # (27*TILE,) == (vpad,)
-    safe = jnp.broadcast_to(idx.clip(0)[:, None], (vpad, cin))
-    g = jnp.take_along_axis(feats_ref[...], safe, axis=0)   # (vpad, cin)
-    g = jnp.where((idx >= 0)[:, None], g, 0.0)
-    g3 = g.reshape(k, tile, cin)
-
-    acc = jnp.zeros((tile, cout), jnp.float32)
+    acc = jnp.zeros((cout, v), jnp.float32)
     for kk in range(k):
+        idx = nbr_ref[kk : kk + 1, :]                      # (1, V)
+        safe = jnp.broadcast_to(idx.clip(0), (cin, v))
+        g = jnp.take_along_axis(feats, safe, axis=1)       # (Cin, V)
+        g = jnp.where(idx >= 0, g, 0.0)
         acc = acc + jnp.dot(
-            g3[kk], w_ref[kk], preferred_element_type=jnp.float32
+            w_ref[kk], g, preferred_element_type=jnp.float32
         )
     out_ref[...] = acc
 
@@ -57,28 +60,24 @@ def _subm_conv_pallas_single(features, nbr, weights):
     assert k == K_TAPS, k
     cout = weights.shape[-1]
 
-    # table rows must equal 27 * TILE (Mosaic dynamic_gather shape rule)
-    tile = _round_up(-(-v // K_TAPS), 8)
-    vpad = K_TAPS * tile
-    feats_p = jnp.pad(features, ((0, vpad - v), (0, 0)))
-    num_tiles = -(-v // tile)
-    npad = num_tiles * tile
-    nbr_p = jnp.pad(nbr, ((0, 0), (0, npad - v)), constant_values=-1)
+    vpad = _round_up(v, 128)  # lane alignment
+    feats_t = jnp.pad(features, ((0, vpad - v), (0, 0))).T  # (Cin, Vp)
+    nbr_p = jnp.pad(nbr, ((0, 0), (0, vpad - v)), constant_values=-1)
+    w_t = weights.transpose(0, 2, 1)  # (K, Cout, Cin)
 
     out = pl.pallas_call(
         _kernel,
-        grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((vpad, cin), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_TAPS, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, vpad), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_TAPS, vpad), lambda: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (K_TAPS, cin, cout), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                (K_TAPS, cout, cin), lambda: (0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec((tile, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, cout), jnp.float32),
-    )(feats_p.astype(jnp.float32), nbr_p, weights.astype(jnp.float32))
-    return out[:v]
+        out_specs=pl.BlockSpec((cout, vpad), lambda: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cout, vpad), jnp.float32),
+    )(feats_t.astype(jnp.float32), nbr_p, w_t.astype(jnp.float32))
+    return out.T[:v]
 
 
 @jax.custom_vjp
@@ -126,9 +125,9 @@ def enabled() -> bool:
 
 
 def supported(features, nbr) -> bool:
-    """VMEM residency check: padded table + tile buffers must fit."""
+    """VMEM residency check: feats + gather buffer + nbr table + out."""
     v, cin = features.shape[-2:]
-    tile = _round_up(-(-v // K_TAPS), 8)
-    vpad = K_TAPS * tile
-    feat_bytes = vpad * cin * 4
-    return feat_bytes * 3 < 12 * 1024 * 1024
+    vpad = _round_up(v, 128)
+    feat_bytes = vpad * max(cin, 8) * 4
+    nbr_bytes = K_TAPS * vpad * 4
+    return 3 * feat_bytes + nbr_bytes < 12 * 1024 * 1024

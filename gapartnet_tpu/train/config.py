@@ -53,6 +53,10 @@ class TrainerConfig:
     val_every_n_epochs: int = 1
     use_wandb: bool = False
     debug: bool = True
+    # test-time visualization (reference visualize_cfg, gapartnet.yaml:35-42)
+    visualize: bool = False
+    visualize_dir: str = "visu"
+    visualize_sample_num: int = 10
 
 
 @dataclasses.dataclass
@@ -144,6 +148,11 @@ def config_from_yaml_dict(raw: Dict[str, Any]) -> Config:
     tkw["seed"] = raw.get("seed_everything", 23333)
     tkw["resume_ckpt"] = model_args.get("ckpt", "")
     tkw["debug"] = model_args.get("debug", True)
+    vcfg = model_args.get("visualize_cfg", {}) or {}
+    if vcfg:
+        tkw["visualize"] = bool(vcfg.get("visualize", False))
+        tkw["visualize_dir"] = vcfg.get("SAVE_ROOT", vcfg.get("visualize_dir", "visu"))
+        tkw["visualize_sample_num"] = vcfg.get("sample_num", 10)
     for cb in trainer_args.get("callbacks", []) or []:
         if "ModelCheckpoint" in str(cb.get("class_path", "")):
             ia = cb.get("init_args", {}) or {}

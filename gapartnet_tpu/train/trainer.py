@@ -256,6 +256,71 @@ def build_datasets(cfg: Config, stage: str):
     return datasets
 
 
+def visualize_samples(out, keep, batch, cfg: Config, split: str, limit: int):
+    """Test-time qualitative dumps (reference on_test_epoch_end,
+
+    model.py:930-999): per sampled cloud render sem/ins/npcs/bbox panels with
+    RANSAC-fitted boxes."""
+    import jax as _jax
+
+    from gapartnet_tpu.ops.umeyama import ransac_pose_from_npcs
+    from gapartnet_tpu.utils import visu
+
+    prop = out.proposals
+    keep = np.asarray(keep)
+    ep = np.asarray(prop.entry_point)
+    pid = np.asarray(prop.entry_proposal)
+    em = np.asarray(prop.entry_mask)
+    npcs = np.asarray(out.npcs_preds) if out.npcs_preds is not None else None
+    pts = np.asarray(batch.points)
+    n = pts.shape[1]
+
+    count = 0
+    for bi in range(pts.shape[0]):
+        if count >= limit or (batch.pc_ids and batch.pc_ids[bi] == "__pad__"):
+            continue
+        ins_map = np.zeros(n, np.int64)
+        npcs_map = np.full((n, 3), 230.0 / 255.0, np.float32)
+        bboxes = []
+        for rank, p in enumerate(np.nonzero(keep[bi])[0]):
+            sel = em[bi] & (pid[bi] == p)
+            idxs = ep[bi][sel]
+            ins_map[idxs] = rank + 1
+            if npcs is not None:
+                npcs_map[idxs] = npcs[bi][sel]
+                if len(idxs) > 10:
+                    fit = ransac_pose_from_npcs(
+                        jnp.asarray(npcs[bi][sel] - 0.5),
+                        jnp.asarray(pts[bi, idxs, :3]),
+                        jnp.ones(len(idxs), bool),
+                        _jax.random.PRNGKey(rank),
+                    )
+                    if bool(fit.ok):
+                        bboxes.append(np.asarray(fit.bbox))
+        visu.visualize_gapartnet(
+            save_root=cfg.trainer.visualize_dir,
+            name=batch.pc_ids[bi] if batch.pc_ids else f"sample_{bi}",
+            split=split,
+            points=pts[bi],
+            sem_preds=np.asarray(out.sem_preds)[bi],
+            ins_preds=ins_map,
+            npcs_preds=npcs_map,
+            bboxes=bboxes,
+            sem_gt=np.asarray(batch.sem_labels)[bi]
+            if batch.sem_labels is not None else None,
+            ins_gt=np.asarray(batch.instance_labels)[bi]
+            if batch.instance_labels is not None else None,
+            npcs_gt=np.asarray(batch.gt_npcs)[bi] + 0.5
+            if batch.gt_npcs is not None else None,
+            save_option=(
+                "pc", "sem_pred", "ins_pred", "npcs_pred", "bbox_pred",
+                "sem_gt", "ins_gt", "npcs_gt",
+            ),
+        )
+        count += 1
+    return count
+
+
 def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
                     logger: MetricLogger, step: int, do_instance: bool):
     """Validation/test over the three splits; returns the monitor metric.
@@ -268,11 +333,13 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
 
     all_accus, pixel_accus, mious, ap50s, maps = [], [], [], [], []
     metrics: Dict[str, float] = {}
+    select_fn = None
     for split in SPLITS:
         ds = datasets[split]
         evaluator = APEvaluator(num_classes)
         conf = np.zeros((num_classes, num_classes), np.int64)
         accu_sum, pix_sum, batches = 0.0, 0.0, 0
+        visualized = 0
         for raw in _iter_batches(ds, cfg.data.val_batch_size, drop_last=False):
             batch = _np_batch_to_device(raw)
             out = eval_step(state, batch)
@@ -284,12 +351,26 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
             mask = np.asarray(batch.point_mask).reshape(-1) & (labels >= 0)
             np.add.at(conf, (labels[mask], preds[mask]), 1)
             if do_instance and out.score_preds is not None and out.ious is not None:
-                keep = select_eval_proposals(out, cfg.model, cfg.model.max_points)
+                if select_fn is None:
+                    select_fn = jax.jit(
+                        lambda o: select_eval_proposals(
+                            o, cfg.model, cfg.model.max_points
+                        )
+                    )
+                keep = select_fn(out)
                 s, c, si, io, isl = batch_to_records(
                     out, keep, batch.instance_sem_labels
                 )
                 if io is not None:
                     evaluator.add(s, c, si, io, isl)
+                if (
+                    cfg.trainer.visualize
+                    and visualized < cfg.trainer.visualize_sample_num
+                ):
+                    visualized += visualize_samples(
+                        out, keep, batch, cfg, split,
+                        cfg.trainer.visualize_sample_num - visualized,
+                    )
         if batches == 0:
             continue
         all_accu = accu_sum / batches

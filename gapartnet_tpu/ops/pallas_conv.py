@@ -116,10 +116,17 @@ subm_conv_pallas.defvjp(_fwd, _bwd)
 
 
 def enabled() -> bool:
-    """Use the Pallas kernel on TPU unless GAPARTNET_PALLAS=0."""
+    """Opt-in via GAPARTNET_PALLAS=1.
+
+    Default OFF: current Mosaic lowers gathers only as single-vreg shuffles
+    ("Multiple source vregs along gather dimension"), so a VMEM-resident
+    big-table gather kernel cannot compile on this toolchain yet.  The kernel
+    + tests are kept (they pass in interpret mode) for when Mosaic grows
+    multi-vreg dynamic_gather support.
+    """
     import os
 
-    if os.environ.get("GAPARTNET_PALLAS", "1") == "0":
+    if os.environ.get("GAPARTNET_PALLAS", "0") != "1":
         return False
     return jax.default_backend() == "tpu"
 

@@ -146,22 +146,32 @@ def subm_conv_apply(
     nbr: jnp.ndarray,       # (B, K, V)
     weights: jnp.ndarray,   # (K, Cin, Cout)
 ) -> jnp.ndarray:
-    """Submanifold conv: gather neighbors, one fused (V, K*Cin) matmul."""
+    """Submanifold conv: per-tap sorted gathers + accumulated MXU matmuls.
+
+    Rulebook rows are ascending (built by searchsorted over ascending target
+    keys), so each tap's gather carries the `indices_are_sorted` hint.  Taps
+    are accumulated one matmul at a time, which keeps the working set at
+    (V, Cin) instead of materializing (V, K*Cin).
+    """
     k, cin, cout = weights.shape
 
     def one(feats, nbr_s):
-        g = feats[nbr_s.clip(0)]                       # (K, V, Cin)
-        g = jnp.where((nbr_s >= 0)[..., None], g, 0.0)
-        g = jnp.transpose(g, (1, 0, 2)).reshape(-1, k * cin)  # (V, K*Cin)
-        return g
+        acc = jnp.zeros((feats.shape[0], cout), jnp.float32)
+        for kk in range(k):
+            idx = nbr_s[kk]
+            g = jnp.take(
+                feats, idx.clip(0), axis=0,
+                indices_are_sorted=True, unique_indices=False,
+            )
+            g = jnp.where((idx >= 0)[:, None], g, 0.0)
+            acc = acc + jax.lax.dot_general(
+                g, weights[kk],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return acc
 
-    gathered = jax.vmap(one)(features, nbr)            # (B, V, K*Cin)
-    w = weights.reshape(k * cin, cout)
-    return jax.lax.dot_general(
-        gathered, w,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    return jax.vmap(one)(features, nbr)
 
 
 def linear_conv_apply(features: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:

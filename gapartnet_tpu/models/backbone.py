@@ -18,7 +18,7 @@ Structural parity notes vs the reference:
   * all convs bias-free (bias=False throughout the reference backbone)
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -45,11 +45,13 @@ def _kernel_init(key, shape, dtype=jnp.float32):
 class SubMConv(nn.Module):
     """Submanifold conv (k=3) on one grid level; weights (27, Cin, Cout).
 
-    On TPU the gather-GEMM runs as a Pallas kernel with the feature matrix
-    VMEM-resident (ops/pallas_conv.py); elsewhere the XLA formulation is used.
+    Optionally runs the gather + matmul in bfloat16 (f32 accumulation); the
+    Pallas VMEM-gather kernel (ops/pallas_conv.py) is behind an opt-in env
+    flag until Mosaic supports multi-vreg gathers.
     """
 
     out_channels: int
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, features, nbr):
@@ -60,11 +62,12 @@ class SubMConv(nn.Module):
 
         if pallas_conv.enabled() and pallas_conv.supported(features[0], nbr[0]):
             return pallas_conv.subm_conv_pallas(features, nbr, w)
-        return subm_conv_apply(features, nbr, w)
+        return subm_conv_apply(features, nbr, w, compute_dtype=self.compute_dtype)
 
 
 class ResBlock(nn.Module):
     out_channels: int
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, features, nbr, mask, train: bool):
@@ -76,10 +79,10 @@ class ResBlock(nn.Module):
             shortcut = linear_conv_apply(features, w)
             shortcut = MaskedBatchNorm(name="shortcut_bn")(shortcut, mask, train)
 
-        x = SubMConv(self.out_channels, name="conv1")(features, nbr)
+        x = SubMConv(self.out_channels, self.compute_dtype, name="conv1")(features, nbr)
         x = MaskedBatchNorm(name="bn1")(x, mask, train)
         x = nn.relu(x)
-        x = SubMConv(self.out_channels, name="conv2")(x, nbr)
+        x = SubMConv(self.out_channels, self.compute_dtype, name="conv2")(x, nbr)
         x = MaskedBatchNorm(name="bn2")(x, mask, train)
         return nn.relu(x + shortcut)
 
@@ -90,6 +93,7 @@ class UBlock(nn.Module):
     channels: Sequence[int]
     block_repeat: int
     level: int = 0
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, features, hierarchy: GridHierarchy, train: bool):
@@ -99,7 +103,7 @@ class UBlock(nn.Module):
 
         x = features
         for r in range(self.block_repeat):
-            x = ResBlock(self.channels[0], name=f"enc{r}")(x, nbr, mask, train)
+            x = ResBlock(self.channels[0], self.compute_dtype, name=f"enc{r}")(x, nbr, mask, train)
         skip = x
 
         if len(self.channels) > 1:
@@ -115,7 +119,8 @@ class UBlock(nn.Module):
             x = nn.relu(x)
 
             x = UBlock(
-                tuple(self.channels[1:]), self.block_repeat, li + 1, name="ublock"
+                tuple(self.channels[1:]), self.block_repeat, li + 1,
+                self.compute_dtype, name="ublock",
             )(x, hierarchy, train)
 
             w_up = self.param(
@@ -126,9 +131,9 @@ class UBlock(nn.Module):
             x = nn.relu(x)
 
             x = jnp.concatenate([x, skip], axis=-1)
-            x = ResBlock(self.channels[0], name="dec0")(x, nbr, mask, train)
+            x = ResBlock(self.channels[0], self.compute_dtype, name="dec0")(x, nbr, mask, train)
             for r in range(1, self.block_repeat):
-                x = ResBlock(self.channels[0], name=f"dec{r}")(x, nbr, mask, train)
+                x = ResBlock(self.channels[0], self.compute_dtype, name=f"dec{r}")(x, nbr, mask, train)
         return x
 
 
@@ -136,6 +141,7 @@ class SparseUNet(nn.Module):
     channels: Sequence[int]
     block_repeat: int = 2
     without_stem: bool = False
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, features, hierarchy: GridHierarchy, train: bool = True):
@@ -144,9 +150,10 @@ class SparseUNet(nn.Module):
             x = MaskedBatchNorm(name="stem_bn")(features, lv0.voxel_mask, train)
             x = nn.relu(x)
         else:
-            x = SubMConv(self.channels[0], name="stem_conv")(features, lv0.subm_nbr)
+            x = SubMConv(self.channels[0], self.compute_dtype, name="stem_conv")(features, lv0.subm_nbr)
             x = MaskedBatchNorm(name="stem_bn")(x, lv0.voxel_mask, train)
             x = nn.relu(x)
-        return UBlock(tuple(self.channels), self.block_repeat, 0, name="ublock")(
-            x, hierarchy, train
-        )
+        return UBlock(
+            tuple(self.channels), self.block_repeat, 0, self.compute_dtype,
+            name="ublock",
+        )(x, hierarchy, train)

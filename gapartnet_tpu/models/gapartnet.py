@@ -66,6 +66,8 @@ class GAPartNetConfig:
     # clustering implementation: "hash" (fast TPU path) or "exact"
     # (reference first-K semantics; O(N^2), for parity testing)
     clustering_impl: str = "hash"
+    # conv gather/matmul precision: "float32" or "bfloat16" (f32 accumulate)
+    conv_compute_dtype: str = "float32"
     # fixed-shape capacities (TPU-specific)
     voxel_size: Tuple[float, float, float] = (0.01, 0.01, 0.01)
     max_points: int = 20000
@@ -200,8 +202,12 @@ class GAPartNet(nn.Module):
                 points, point_mask, cfg
             )
             hierarchy = build_hierarchy(keys, nvox, list(cfg.input_capacities()))
+            cdtype = (
+                jnp.bfloat16 if cfg.conv_compute_dtype == "bfloat16" else None
+            )
             voxel_out = SparseUNet(
-                cfg.channels, cfg.block_repeat, name="backbone"
+                cfg.channels, cfg.block_repeat, compute_dtype=cdtype,
+                name="backbone",
             )(vfeats, hierarchy, train)
             pc_feats = _gather_per_point(voxel_out, pc_voxel_id)  # (B, N, fea)
         elif cfg.backbone_type == "PointNet":
@@ -378,9 +384,12 @@ class GAPartNet(nn.Module):
         # ScoreNet (model.py:113-116,348-385)
         # ------------------------------------------------------------------
         if do_score:
+            cdtype = (
+                jnp.bfloat16 if cfg.conv_compute_dtype == "bfloat16" else None
+            )
             sfeat = SparseUNet(
                 cfg.channels[:2], cfg.block_repeat, without_stem=True,
-                name="score_unet",
+                compute_dtype=cdtype, name="score_unet",
             )(prop_vfeats, prop_hier, train)
             entry_sf = _gather_entries_from_voxels(sfeat, entry_voxel_id, prop.entry_mask)
             pooled = jax.vmap(
@@ -412,9 +421,12 @@ class GAPartNet(nn.Module):
         # NPCSNet (model.py:119-122,387-462)
         # ------------------------------------------------------------------
         if do_npcs:
+            cdtype = (
+                jnp.bfloat16 if cfg.conv_compute_dtype == "bfloat16" else None
+            )
             nfeat = SparseUNet(
                 cfg.channels[:2], cfg.block_repeat, without_stem=True,
-                name="npcs_unet",
+                compute_dtype=cdtype, name="npcs_unet",
             )(prop_vfeats, prop_hier, train)
             npcs_all = nn.Dense(3 * (c - 1), name="npcs_head")(nfeat)
             entry_npcs = _gather_entries_from_voxels(

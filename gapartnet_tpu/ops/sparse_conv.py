@@ -145,6 +145,7 @@ def subm_conv_apply(
     features: jnp.ndarray,  # (B, V, Cin)
     nbr: jnp.ndarray,       # (B, K, V)
     weights: jnp.ndarray,   # (K, Cin, Cout)
+    compute_dtype=None,     # e.g. jnp.bfloat16: halves gather bytes, 2x MXU
 ) -> jnp.ndarray:
     """Submanifold conv: per-tap sorted gathers + accumulated MXU matmuls.
 
@@ -154,6 +155,9 @@ def subm_conv_apply(
     (V, Cin) instead of materializing (V, K*Cin).
     """
     k, cin, cout = weights.shape
+    if compute_dtype is not None:
+        features = features.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
 
     def one(feats, nbr_s):
         acc = jnp.zeros((feats.shape[0], cout), jnp.float32)
@@ -163,7 +167,7 @@ def subm_conv_apply(
                 feats, idx.clip(0), axis=0,
                 indices_are_sorted=True, unique_indices=False,
             )
-            g = jnp.where((idx >= 0)[:, None], g, 0.0)
+            g = jnp.where((idx >= 0)[:, None], g, jnp.zeros((), g.dtype))
             acc = acc + jax.lax.dot_general(
                 g, weights[kk],
                 dimension_numbers=(((1,), (0,)), ((), ())),

@@ -138,15 +138,17 @@ def hash_connected_components(
         tin, _pack_node(tgt_cell, node_label[None, :]), KEY_SENTINEL - 1
     )
     start = cell_start[jnp.where(tin, tgt_cell_key, 0)]             # (125, N)
-    # a cell holds at most a handful of distinct labels; probe the first
-    # MAX_LABELS_PER_CELL contiguous node slots for the label match
-    vid_all = jnp.full(tgt_key.shape, 0, jnp.int32)
-    found_all = jnp.zeros(tgt_key.shape, bool)
-    for j in range(MAX_LABELS_PER_CELL):
-        cand = jnp.clip(start + j, 0, n - 1)
-        hit = (start >= 0) & (node_keys[cand] == tgt_key) & tin
-        vid_all = jnp.where(hit & ~found_all, cand, vid_all)
-        found_all = found_all | hit
+    # a cell holds at most a handful of distinct labels; fetch the first
+    # MAX_LABELS_PER_CELL contiguous node keys with ONE widened row gather
+    # (random element gathers are the dominant cost on TPU)
+    key_windows = jnp.stack(
+        [jnp.roll(node_keys, -j) for j in range(MAX_LABELS_PER_CELL)], axis=-1
+    )  # (N, MAX_LABELS_PER_CELL); row i = node_keys[i : i + 4]
+    windows = key_windows[start.clip(0)]                 # (125, N, 4)
+    hits = (windows == tgt_key[..., None]) & (start >= 0)[..., None] & tin[..., None]
+    found_all = jnp.any(hits, axis=-1)
+    off_in_window = jnp.argmax(hits, axis=-1).astype(jnp.int32)
+    vid_all = jnp.clip(start + off_in_window, 0, n - 1)
 
     def edge_step(_, args):
         vid, found = args

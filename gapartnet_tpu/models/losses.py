@@ -33,6 +33,34 @@ def focal_loss(
     return loss.sum() / cnt
 
 
+def sigmoid_focal_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    mask: jnp.ndarray,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+    reduction: str = "none",
+) -> jnp.ndarray:
+    """RetinaNet-style sigmoid focal loss (losses.py:67-107; exported by the
+
+    reference but unused in the shipped pipeline)."""
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * (1 - p_t) ** gamma
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+        loss = alpha_t * loss
+    loss = jnp.where(mask, loss, 0.0)
+    if reduction == "mean":
+        return loss.sum() / jnp.maximum(mask.sum(), 1)
+    if reduction == "sum":
+        return loss.sum()
+    return loss
+
+
 def dice_loss(
     logits: jnp.ndarray,   # (M, C)
     targets: jnp.ndarray,  # (M,) int (assumed >= 0 on valid points)

@@ -159,23 +159,21 @@ def subm_conv_apply(
         features = features.astype(compute_dtype)
         weights = weights.astype(compute_dtype)
 
+    # one fused (K*V)-row gather, then a single (V, K*Cin) matmul; measured
+    # faster than per-tap gathers at batch (the gather engine amortizes the
+    # index stream better on one large gather)
     def one(feats, nbr_s):
-        acc = jnp.zeros((feats.shape[0], cout), jnp.float32)
-        for kk in range(k):
-            idx = nbr_s[kk]
-            g = jnp.take(
-                feats, idx.clip(0), axis=0,
-                indices_are_sorted=True, unique_indices=False,
-            )
-            g = jnp.where((idx >= 0)[:, None], g, jnp.zeros((), g.dtype))
-            acc = acc + jax.lax.dot_general(
-                g, weights[kk],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        return acc
+        g = feats[nbr_s.clip(0)]                       # (K, V, Cin)
+        g = jnp.where((nbr_s >= 0)[..., None], g, jnp.zeros((), g.dtype))
+        return jnp.transpose(g, (1, 0, 2)).reshape(-1, k * cin)
 
-    return jax.vmap(one)(features, nbr)
+    gathered = jax.vmap(one)(features, nbr)            # (B, V, K*Cin)
+    w = weights.reshape(k * cin, cout)
+    return jax.lax.dot_general(
+        gathered, w,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def linear_conv_apply(features: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:

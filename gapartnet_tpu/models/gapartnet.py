@@ -66,6 +66,9 @@ class GAPartNetConfig:
     # clustering implementation: "hash" (fast TPU path) or "exact"
     # (reference first-K semantics; O(N^2), for parity testing)
     clustering_impl: str = "hash"
+    # (cell, label) node-table capacity for the hash clustering (0 = N).
+    # Real clouds occupy a few thousand nodes; probe/edge costs scale with it.
+    hash_node_capacity: int = 8192
     # conv gather/matmul precision: "float32" or "bfloat16" (f32 accumulate)
     conv_compute_dtype: str = "float32"
     # fixed-shape capacities (TPU-specific)
@@ -309,6 +312,8 @@ class GAPartNet(nn.Module):
                 cfg.min_num_points_per_proposal,
                 cfg.max_proposals,
                 impl=cfg.clustering_impl,
+                hash_node_capacity=min(cfg.hash_node_capacity, cfg.max_points)
+                if cfg.hash_node_capacity else 0,
             )
         )(pt_xyz, stop_offsets, sem_preds, cluster_valid)
 

@@ -64,6 +64,7 @@ def cluster_single(
     min_num_points_per_proposal: int,
     max_proposals: int,
     impl: str = "hash",
+    hash_node_capacity: int = 0,
 ):
     """One sample; vmap over the batch.  Returns SampleProposals.
 
@@ -78,10 +79,12 @@ def cluster_single(
         from gapartnet_tpu.ops.hash_ccl import hash_connected_components
 
         lab1 = hash_connected_components(
-            pt_xyz, sem_preds, valid, ball_query_radius
+            pt_xyz, sem_preds, valid, ball_query_radius,
+            node_capacity=hash_node_capacity,
         )
         lab2 = hash_connected_components(
-            pt_xyz + offsets, sem_preds, valid, ball_query_radius
+            pt_xyz + offsets, sem_preds, valid, ball_query_radius,
+            node_capacity=hash_node_capacity,
         )
     else:
         nbr1, _ = ball_query_single(

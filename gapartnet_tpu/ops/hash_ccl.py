@@ -49,7 +49,7 @@ def _pack_node(cell: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("reps", "max_iters", "max_degree"))
+@partial(jax.jit, static_argnames=("reps", "max_iters", "max_degree", "node_capacity"))
 def hash_connected_components(
     pt_xyz: jnp.ndarray,
     sem_labels: jnp.ndarray,
@@ -58,13 +58,21 @@ def hash_connected_components(
     reps: int = 16,
     max_iters: int = 32,
     max_degree: int = 48,
+    node_capacity: int = 0,
 ) -> jnp.ndarray:
     """One sample; vmap over the batch.
 
     Returns (N,) int32 labels: the minimum point index of each connected
     component (invalid points label themselves).
+
+    node_capacity caps the (cell, label) node table (0 = N).  Real clouds
+    occupy a few thousand nodes; a tight cap (e.g. N//2) shrinks every
+    probe/edge structure proportionally.  Points whose node overflows the cap
+    become isolated singletons (tracked implicitly; they fail min-points
+    filtering downstream).
     """
     n = pt_xyz.shape[0]
+    m = node_capacity or n
     r2 = jnp.float32(radius * radius)
     s = radius / (3.0**0.5)
     big = jnp.float32(1e9)
@@ -80,24 +88,25 @@ def hash_connected_components(
     sorted_ok = sk != KEY_SENTINEL
     first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & sorted_ok
     node_of_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
-    num_nodes = first.sum().astype(jnp.int32)
+    num_nodes = jnp.minimum(first.sum(), m).astype(jnp.int32)
+    in_cap = node_of_sorted < m
     point_node = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.where(sorted_ok, node_of_sorted, -1)
+        jnp.where(sorted_ok & in_cap, node_of_sorted, -1)
     )
-    node_keys = jnp.full((n,), KEY_SENTINEL, jnp.int32).at[
-        jnp.where(first, node_of_sorted, n)
+    node_keys = jnp.full((m,), KEY_SENTINEL, jnp.int32).at[
+        jnp.where(first & in_cap, node_of_sorted, m)
     ].set(sk, mode="drop")
 
     # rank of each point within its node (scan-order == point-index order)
-    node_start = jnp.zeros((n,), jnp.int32).at[
-        jnp.where(first, node_of_sorted, n)
+    node_start = jnp.zeros((m,), jnp.int32).at[
+        jnp.where(first & in_cap, node_of_sorted, m)
     ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
     rank_sorted = jnp.arange(n, dtype=jnp.int32) - node_start[
-        jnp.clip(node_of_sorted, 0, n - 1)
+        jnp.clip(node_of_sorted, 0, m - 1)
     ]
     # representative table: first `reps` member points of each node
-    rep_table = jnp.full((n, reps), -1, jnp.int32).at[
-        jnp.where(sorted_ok & (rank_sorted < reps), node_of_sorted, n),
+    rep_table = jnp.full((m, reps), -1, jnp.int32).at[
+        jnp.where(sorted_ok & in_cap & (rank_sorted < reps), node_of_sorted, m),
         jnp.clip(rank_sorted, 0, reps - 1),
     ].set(order.astype(jnp.int32), mode="drop")
 
@@ -111,7 +120,7 @@ def hash_connected_components(
         axis=-1,
     )
     node_label = node_keys & ((1 << LABEL_BITS) - 1)
-    node_valid = jnp.arange(n) < num_nodes
+    node_valid = jnp.arange(m) < num_nodes
 
     # Dense cell-start table for O(1) neighbor-node lookup: nodes are sorted
     # by (cell, label) key, so each cell's nodes are contiguous; a 128^3 int32
@@ -123,7 +132,7 @@ def hash_connected_components(
     ) & node_valid
     cell_start = jnp.full((num_cells,), -1, jnp.int32).at[
         jnp.where(first_in_cell, node_cell_key, num_cells)
-    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    ].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
 
     # 125 neighbor-cell offsets
     rng = jnp.arange(-2, 3)
@@ -148,7 +157,7 @@ def hash_connected_components(
     hits = (windows == tgt_key[..., None]) & (start >= 0)[..., None] & tin[..., None]
     found_all = jnp.any(hits, axis=-1)
     off_in_window = jnp.argmax(hits, axis=-1).astype(jnp.int32)
-    vid_all = jnp.clip(start + off_in_window, 0, n - 1)
+    vid_all = jnp.clip(start + off_in_window, 0, m - 1)
 
     def edge_step(_, args):
         vid, found = args
@@ -168,13 +177,13 @@ def hash_connected_components(
     # degree compaction: keep the `max_degree` lowest-rank neighbors per node
     # (sorting ascending keeps exactly the edges that carry the minimum, and
     # the per-iteration gather shrinks ~3x; the 125-slot table is mostly -1)
-    nbr_sorted = jnp.sort(jnp.where(nbr_ids >= 0, nbr_ids, n), axis=0)
+    nbr_sorted = jnp.sort(jnp.where(nbr_ids >= 0, nbr_ids, m), axis=0)
     nbr_ids = jnp.where(
-        nbr_sorted[:max_degree] < n, nbr_sorted[:max_degree], -1
-    )  # (max_degree, N)
+        nbr_sorted[:max_degree] < m, nbr_sorted[:max_degree], -1
+    )  # (max_degree, M)
 
     # pull-only CCL with pointer jumping (edge relation is symmetric)
-    labels0 = jnp.arange(n, dtype=jnp.int32)
+    labels0 = jnp.arange(m, dtype=jnp.int32)
 
     def cond(state):
         labels, prev, it = state
@@ -183,10 +192,10 @@ def hash_connected_components(
     def body(state):
         labels, _, it = state
         prev = labels
-        nl = jnp.where(nbr_ids >= 0, labels[nbr_ids.clip(0)], n)
+        nl = jnp.where(nbr_ids >= 0, labels[nbr_ids.clip(0)], m)
         labels = jnp.minimum(labels, jnp.min(nl, axis=0))
         # pointer jumping: labels index labels, each jump composes the
-        # pointer function (cheap (N,) gathers vs the wide edge gather)
+        # pointer function (cheap (M,) gathers vs the wide edge gather)
         labels = labels[labels]
         labels = labels[labels]
         labels = labels[labels]
@@ -194,13 +203,19 @@ def hash_connected_components(
         return labels, prev, it + 1
 
     node_root, _, _ = lax.while_loop(
-        cond, body, (labels0, jnp.full((n,), -1, jnp.int32), jnp.int32(0))
+        cond, body, (labels0, jnp.full((m,), -1, jnp.int32), jnp.int32(0))
     )
 
-    # normalize: min point index per component
-    root_per_point = jnp.where(ok, node_root[point_node.clip(0)], -1)
-    min_point = jnp.full((n,), n, jnp.int32).at[
-        jnp.where(ok, root_per_point.clip(0), n)
+    # normalize: min point index per component (points whose node overflowed
+    # the capacity are isolated and label themselves)
+    has_node = ok & (point_node >= 0)
+    root_per_point = jnp.where(has_node, node_root[point_node.clip(0)], -1)
+    min_point = jnp.full((m,), n, jnp.int32).at[
+        jnp.where(has_node, root_per_point.clip(0), m)
     ].min(jnp.arange(n, dtype=jnp.int32), mode="drop")
-    out = jnp.where(ok, min_point[root_per_point.clip(0)], jnp.arange(n, dtype=jnp.int32))
+    out = jnp.where(
+        has_node,
+        min_point[root_per_point.clip(0)],
+        jnp.arange(n, dtype=jnp.int32),
+    )
     return out

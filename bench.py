@@ -34,7 +34,9 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-    cfg = GAPartNetConfig()
+    # bf16 conv compute for inference (f32 accumulation); all capacities at
+    # the reference envelope (20000 pts, full channel schedule)
+    cfg = GAPartNetConfig(conv_compute_dtype="bfloat16")
     model = GAPartNet(cfg)
     batch = g._make_batch(cfg.max_points, BATCH_SIZE, cfg.max_instances, seed=0)
     variables = g.jitted_init(model, batch)

@@ -253,6 +253,30 @@ def collate(samples: Sequence[dict]) -> dict:
     return out
 
 
+def from_folder(
+    root_dir: Union[str, Path],
+    split: str = "train_new",
+    process_index: int = 0,
+    process_count: int = 1,
+    **dataset_kwargs,
+) -> "GAPartNetDataset":
+    """JSON-split variant (reference from_folder, dataset/gapartnet.py:231-285):
+
+    reads {root}/{split}.json for the file list and applies per-host sharding
+    (the reference's distributed_sharding_filter)."""
+    import json as _json
+
+    root = Path(root_dir)
+    with open(root / f"{split}.json") as f:
+        names = _json.load(f)
+    paths = [str(root / n) for n in names]
+    paths = shard_files(paths, process_index, process_count)
+    ds = GAPartNetDataset.__new__(GAPartNetDataset)
+    GAPartNetDataset.__init__(ds, root_dir=[], **dataset_kwargs)
+    ds.paths = [p for p in paths if os.path.exists(p)]
+    return ds
+
+
 def shard_files(paths: List[str], process_index: int, process_count: int):
     """Per-host file sharding (replaces DistributedShardingFilter,
 

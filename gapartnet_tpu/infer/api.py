@@ -271,6 +271,47 @@ class GAPartNetInference:
         return self.predict(pts, **kw), idx, trans
 
 
+class KNNPartClassifier:
+    """k-NN classifier over cached part-feature banks.
+
+    Replaces the reference's sklearn-KNN over DINO features
+    (structure/utils.py:499-528): given a bank of (feature, part-label) pairs
+    (e.g. DINOv2 crops of known parts), classifies query features by majority
+    vote among the k nearest neighbors.  Pure NumPy (no sklearn dependency).
+    """
+
+    def __init__(self, features: np.ndarray, labels: np.ndarray, k: int = 5):
+        self.features = np.asarray(features, np.float32)
+        self.labels = np.asarray(labels)
+        self.k = min(k, len(self.labels))
+
+    def predict(self, queries: np.ndarray) -> np.ndarray:
+        q = np.asarray(queries, np.float32)
+        d2 = ((q[:, None, :] - self.features[None, :, :]) ** 2).sum(-1)
+        nn = np.argsort(d2, axis=1)[:, : self.k]
+        out = np.empty(len(q), self.labels.dtype)
+        for i, row in enumerate(nn):
+            vals, counts = np.unique(self.labels[row], return_counts=True)
+            out[i] = vals[np.argmax(counts)]
+        return out
+
+    @classmethod
+    def from_file(cls, path: str, k: int = 5):
+        """Load a cached feature bank (.npz with 'features', 'labels')."""
+        d = np.load(path)
+        return cls(d["features"], d["labels"], k=k)
+
+
+def relabel_feature_bank(path: str, out_path: str, old_to_new: dict):
+    """Remap part ids in a cached feature bank (the reference's one-off
+
+    structure/test.py relabel script, minus its pdb trap)."""
+    d = dict(np.load(path))
+    labels = d["labels"]
+    d["labels"] = np.vectorize(lambda x: old_to_new.get(int(x), int(x)))(labels)
+    np.savez(out_path, **d)
+
+
 def estimate_joint_angle(
     xyz_a: np.ndarray, xyz_b: np.ndarray, seed: int = 0
 ):

@@ -55,7 +55,7 @@ def hash_connected_components(
     sem_labels: jnp.ndarray,
     valid: jnp.ndarray,
     radius: float,
-    reps: int = 16,
+    reps: int = 8,
     max_iters: int = 32,
     max_degree: int = 48,
     node_capacity: int = 0,
@@ -160,19 +160,26 @@ def hash_connected_components(
     vid_all = jnp.clip(start + off_in_window, 0, m - 1)
 
     def edge_step(_, args):
-        vid, found = args
+        vid, found = args                                 # (G, M), (G, M)
         # any representative pair within radius? (mask padded rep slots —
         # they share a coordinate and would alias to distance 0)
-        v_xyz = rep_xyz[vid]                              # (N, reps, 3)
+        v_xyz = rep_xyz[vid]                              # (G, M, reps, 3)
         v_ok = rep_ok[vid]
         d2 = jnp.sum(
-            (rep_xyz[:, :, None, :] - v_xyz[:, None, :, :]) ** 2, axis=-1
+            (rep_xyz[None, :, :, None, :] - v_xyz[:, :, None, :, :]) ** 2,
+            axis=-1,
         )
-        pair_ok = rep_ok[:, :, None] & v_ok[:, None, :]
-        connected = found & jnp.any(pair_ok & (d2 <= r2), axis=(1, 2))
+        pair_ok = rep_ok[None, :, :, None] & v_ok[:, :, None, :]
+        connected = found & jnp.any(pair_ok & (d2 <= r2), axis=(2, 3))
         return None, (jnp.where(connected, vid, -1),)
 
-    _, (nbr_ids,) = lax.scan(edge_step, None, (vid_all, found_all))  # (125, N)
+    # chunk the 125 offsets into groups of 5: fewer sequential loop steps
+    # (latency) while keeping per-step tensors modest
+    _, (nbr_g,) = lax.scan(
+        edge_step, None,
+        (vid_all.reshape(25, 5, m), found_all.reshape(25, 5, m)),
+    )
+    nbr_ids = nbr_g.reshape(125, m)
 
     # degree compaction: keep the `max_degree` lowest-rank neighbors per node
     # (sorting ascending keeps exactly the edges that carry the minimum, and

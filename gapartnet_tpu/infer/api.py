@@ -255,6 +255,86 @@ class GAPartNetInference:
             bboxes=bboxes,
         )
 
+    def predict_with_masks(
+        self,
+        points: np.ndarray,
+        masks: np.ndarray,
+        ransac_iters: int = 100,
+        min_bbox_points: int = 10,
+        seed: int = 0,
+    ):
+        """Mask-conditioned pose estimation (reference _estimate_pose_with_masks,
+
+        structure/utils.py:195-322): external instance masks (e.g. SAM masks
+        projected to points) replace the network's clustering; ScoreNet and
+        NPCSNet run on the given groups, and a 9-DoF box is fitted per mask.
+
+        points: (N, 6); masks: (M, N) bool.  Returns (scores (M,), classes
+        (M,), npcs_map (N, 3), bboxes list of (8,3) or None per mask).
+        """
+        from gapartnet_tpu.models.grouping import SampleProposals
+
+        cfg = self.cfg
+        n = points.shape[0]
+        cap = 2 * cfg.max_points
+        p = cfg.max_proposals
+        m = min(masks.shape[0], p)
+
+        entry_point = np.zeros(cap, np.int32)
+        entry_prop = np.full(cap, -1, np.int32)
+        sizes = np.zeros(p, np.int32)
+        pos = 0
+        for i in range(m):
+            idxs = np.nonzero(masks[i][:n])[0]
+            k = min(len(idxs), cap - pos)
+            entry_point[pos : pos + k] = idxs[:k]
+            entry_prop[pos : pos + k] = i
+            sizes[i] = k
+            pos += k
+        prop = SampleProposals(
+            entry_point=jnp.asarray(entry_point)[None],
+            entry_proposal=jnp.asarray(entry_prop)[None],
+            entry_mask=jnp.asarray(entry_prop >= 0)[None],
+            proposal_size=jnp.asarray(sizes)[None],
+            proposal_mask=jnp.asarray(np.arange(p) < m)[None],
+            num_proposals=jnp.asarray([m], jnp.int32),
+        )
+        batch = self._wrap_points(points)
+        out = jax.jit(
+            lambda b, pr: self.model.apply(
+                self.variables, b, train=False,
+                do_cluster=True, do_score=True, do_npcs=True,
+                proposals_override=pr,
+            )
+        )(batch, prop)
+
+        scores = np.asarray(out.score_preds)[0][:m]
+        npcs = np.asarray(out.npcs_preds)[0]
+        npcs_map = np.full((n, 3), NPCS_BACKGROUND, np.float32)
+        ep = np.asarray(prop.entry_point)[0]
+        pid = np.asarray(prop.entry_proposal)[0]
+        em = np.asarray(prop.entry_mask)[0]
+        bboxes = []
+        for i in range(m):
+            sel = em & (pid == i)
+            idxs = ep[sel]
+            npcs_map[idxs] = npcs[sel]
+            if len(idxs) > min_bbox_points:
+                fit = ransac_pose_from_npcs(
+                    jnp.asarray(npcs[sel] - 0.5),
+                    jnp.asarray(points[idxs, :3]),
+                    jnp.ones(len(idxs), bool),
+                    jax.random.PRNGKey(seed + i),
+                    max_iters=ransac_iters,
+                )
+                bboxes.append(np.asarray(fit.bbox) if bool(fit.ok) else None)
+            else:
+                bboxes.append(None)
+        from gapartnet_tpu.eval.ap import _proposal_pred_classes
+
+        classes = _proposal_pred_classes(prop, np.asarray(out.sem_preds))[0][:m]
+        return scores, classes, npcs_map, bboxes
+
     def predict_depth(
         self, depth: np.ndarray, K: np.ndarray, rgb: Optional[np.ndarray] = None,
         **kw,

@@ -187,6 +187,7 @@ class GAPartNet(nn.Module):
         do_cluster: bool = False,
         do_score: bool = False,
         do_npcs: bool = False,
+        proposals_override: Optional[SampleProposals] = None,
     ) -> ModelOutput:
         cfg = self.cfg
         c = cfg.num_part_classes
@@ -303,19 +304,24 @@ class GAPartNet(nn.Module):
             cluster_valid = cluster_valid & (batch.instance_labels >= 0)
 
         stop_offsets = jax.lax.stop_gradient(offset_preds)
-        prop = jax.vmap(
-            lambda xyz, off, sem, val: cluster_single(
-                xyz, off, sem, val,
-                cfg.ball_query_radius,
-                cfg.max_num_points_per_query,
-                cfg.max_num_points_per_query_shift,
-                cfg.min_num_points_per_proposal,
-                cfg.max_proposals,
-                impl=cfg.clustering_impl,
-                hash_node_capacity=min(cfg.hash_node_capacity, cfg.max_points)
-                if cfg.hash_node_capacity else 0,
-            )
-        )(pt_xyz, stop_offsets, sem_preds, cluster_valid)
+        if proposals_override is not None:
+            # externally supplied point groups (e.g. SAM masks: the reference's
+            # mask-conditioned pose estimation, structure/utils.py:195-322)
+            prop = proposals_override
+        else:
+            prop = jax.vmap(
+                lambda xyz, off, sem, val: cluster_single(
+                    xyz, off, sem, val,
+                    cfg.ball_query_radius,
+                    cfg.max_num_points_per_query,
+                    cfg.max_num_points_per_query_shift,
+                    cfg.min_num_points_per_proposal,
+                    cfg.max_proposals,
+                    impl=cfg.clustering_impl,
+                    hash_node_capacity=min(cfg.hash_node_capacity, cfg.max_points)
+                    if cfg.hash_node_capacity else 0,
+                )
+            )(pt_xyz, stop_offsets, sem_preds, cluster_valid)
 
         # shared random cube-placement jitter (grouping_utils.py:86-91)
         if train:

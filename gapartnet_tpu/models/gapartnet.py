@@ -71,6 +71,13 @@ class GAPartNetConfig:
     hash_node_capacity: int = 8192
     # conv gather/matmul precision: "float32" or "bfloat16" (f32 accumulate)
     conv_compute_dtype: str = "float32"
+    # rulebook neighbor lookup: "dense" = O(1) int16 coordinate tables
+    # (fast; bounded by input_grid_extent), "sort" = searchsorted (no bound)
+    rulebook_impl: str = "dense"
+    # level-0 coordinate bound for dense rulebooks; 1 cm voxels on
+    # ball-normalized clouds span <= ~260 cells (reference envelope);
+    # out-of-extent voxels (extreme augmentation) lose neighbor links only
+    input_grid_extent: Tuple[int, int, int] = (288, 288, 288)
     # fixed-shape capacities (TPU-specific)
     voxel_size: Tuple[float, float, float] = (0.01, 0.01, 0.01)
     max_points: int = 20000
@@ -205,7 +212,11 @@ class GAPartNet(nn.Module):
             keys, vfeats, nvox, pc_voxel_id = prepare_input_grid(
                 points, point_mask, cfg
             )
-            hierarchy = build_hierarchy(keys, nvox, list(cfg.input_capacities()))
+            hierarchy = build_hierarchy(
+                keys, nvox, list(cfg.input_capacities()),
+                extent=cfg.input_grid_extent
+                if cfg.rulebook_impl == "dense" else None,
+            )
             cdtype = (
                 jnp.bfloat16 if cfg.conv_compute_dtype == "bfloat16" else None
             )
@@ -344,8 +355,16 @@ class GAPartNet(nn.Module):
             grid.entry_voxel_id < vcap, grid.entry_voxel_id, -1
         )
 
+        # proposal-grid extent: 32^3 cell per proposal laid out on a
+        # (32, 32, 32)-cell super-grid (grouping.PROPOSAL_CELL layout)
+        pext = (
+            1024,
+            32 * min(-(-cfg.max_proposals // 32), 32),
+            32 * (-(-cfg.max_proposals // 1024)),
+        )
         prop_hier = build_hierarchy(
-            grid_keys, grid_nvox, list(cfg.proposal_capacities())
+            grid_keys, grid_nvox, list(cfg.proposal_capacities()),
+            extent=pext if cfg.rulebook_impl == "dense" else None,
         )
         entry_feats = _gather_entries(pc_feats, prop.entry_point, prop.entry_mask)
         entry_voxel_ok = prop.entry_mask & (entry_voxel_id >= 0)

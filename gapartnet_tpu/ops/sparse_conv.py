@@ -62,13 +62,21 @@ def kernel_offsets(kernel_size: int) -> List[tuple]:
     return [(dx, dy, dz) for dx in r for dy in r for dz in r]
 
 
-@partial(jax.jit, static_argnames=("kernel_size",))
-def build_subm_rulebook(keys: jnp.ndarray, kernel_size: int = 3) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("kernel_size", "extent"))
+def build_subm_rulebook(
+    keys: jnp.ndarray, kernel_size: int = 3, extent=None
+) -> jnp.ndarray:
     """Neighbor table for submanifold conv.
 
     keys: (V,) sorted packed keys, KEY_SENTINEL padded.
     Returns nbr: (K, V) int32 index of each voxel's neighbor at each kernel
     offset, or -1 when absent.  The center offset maps to the voxel itself.
+
+    extent: optional static (ex, ey, ez) coordinate bound.  When given, the
+    lookup uses a dense int16 coordinate table (one scatter + 27 direct
+    gathers) instead of a sort-based searchsorted — much faster on TPU, at
+    ex*ey*ez*2 bytes of memory.  Voxels outside the extent fall back to
+    "no neighbor" (only reachable under extreme augmentation).
     """
     v = keys.shape[0]
     coords = unpack_key(keys)  # (V, 3); sentinel unpacks to garbage, masked below
@@ -77,9 +85,23 @@ def build_subm_rulebook(keys: jnp.ndarray, kernel_size: int = 3) -> jnp.ndarray:
 
     tgt = coords[None, :, :] + offs[:, None, :]                  # (K, V, 3)
     in_bounds = jnp.all((tgt >= 0) & (tgt < COORD_MAX), axis=-1) & valid[None, :]
+
+    if extent is not None:
+        ex, ey, ez = extent
+        assert v < (1 << 15), "int16 rank table requires V < 32768"
+        src_in = valid & jnp.all(coords < jnp.asarray(extent), axis=-1)
+        lin = (coords[:, 0] * ey + coords[:, 1]) * ez + coords[:, 2]
+        table = jnp.full((ex * ey * ez,), -1, jnp.int16).at[
+            jnp.where(src_in, lin, ex * ey * ez)
+        ].set(jnp.arange(v, dtype=jnp.int16), mode="drop")
+        tin = in_bounds & jnp.all(tgt < jnp.asarray(extent), axis=-1)
+        tlin = (tgt[..., 0] * ey + tgt[..., 1]) * ez + tgt[..., 2]
+        idx = table[jnp.where(tin, tlin, 0)].astype(jnp.int32)
+        return jnp.where(tin & (idx >= 0), idx, -1)
+
     tgt_key = jnp.where(in_bounds, pack_coords(tgt), KEY_SENTINEL - 1)
     # one batched lookup over all K*V targets; method="sort" lowers to one
-    # fused sort instead of log2(V) serial gather rounds — much faster on TPU
+    # fused sort instead of log2(V) serial gather rounds
     idx = jnp.clip(
         jnp.searchsorted(keys, tgt_key.reshape(-1), method="sort").astype(jnp.int32),
         0, v - 1,
@@ -263,12 +285,16 @@ def build_hierarchy(
     keys: jnp.ndarray,        # (B, V0) sorted packed keys
     num_voxels: jnp.ndarray,  # (B,)
     capacities: List[int],    # per-level voxel capacity, len = num UNet levels
+    extent=None,              # optional static (ex, ey, ez) level-0 coordinate
+                              # bound: dense-table rulebooks (fast path)
 ) -> GridHierarchy:
     levels = []
     downsamples = []
     cur_keys, cur_nv = keys, num_voxels
+    cur_extent = tuple(extent) if extent is not None else None
     for li, cap in enumerate(capacities):
-        nbr = jax.vmap(lambda k: build_subm_rulebook(k, 3))(cur_keys)
+        e = cur_extent
+        nbr = jax.vmap(lambda k: build_subm_rulebook(k, 3, extent=e))(cur_keys)
         levels.append(GridLevel(keys=cur_keys, num_voxels=cur_nv, subm_nbr=nbr))
         if li + 1 < len(capacities):
             ds = jax.vmap(
@@ -276,4 +302,6 @@ def build_hierarchy(
             )(cur_keys)
             downsamples.append(ds)
             cur_keys, cur_nv = ds.out_keys, ds.out_num_voxels
+            if cur_extent is not None:
+                cur_extent = tuple(-(-x // 2) for x in cur_extent)
     return GridHierarchy(levels=tuple(levels), downsamples=tuple(downsamples))

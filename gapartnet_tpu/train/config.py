@@ -83,6 +83,13 @@ _MODEL_KEY_MAP = {
     "max_proposals": "max_proposals",
     "max_instances": "max_instances",
     "voxel_size": "voxel_size",
+    "backbone_type": "backbone_type",
+    "clustering_impl": "clustering_impl",
+    "hash_node_capacity": "hash_node_capacity",
+    "conv_compute_dtype": "conv_compute_dtype",
+    "rulebook_impl": "rulebook_impl",
+    "input_grid_extent": "input_grid_extent",
+    "proposal_voxel_capacity": "proposal_voxel_capacity",
 }
 
 _INSTANCE_SEG_KEYS = {

@@ -20,9 +20,11 @@ import sys
 import time
 
 A100_BASELINE_CLOUDS_PER_SEC = 30.0  # provisional estimate, see module docstring
-BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "8"))
+# B=1 measured fastest per cloud on the single tunneled v5e-lite core (the
+# batched gather-bound stages scale super-linearly there; see PERF.md)
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "1"))
 WARMUP = 2
-ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 
 
 def main():

@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+import torch
+
+from gapartnet_tpu.data.loader import (
+    GAPartNetDataset,
+    apply_augmentations,
+    collate,
+    compact_instance_labels,
+    load_cloud_file,
+    shard_files,
+)
+
+
+@pytest.fixture
+def pth_dir(tmp_path, rng):
+    """Real torch.save tuples, exactly the reference converter format
+
+    (convert_rendered_into_input.py:156-158)."""
+    d = tmp_path / "train" / "pth"
+    d.mkdir(parents=True)
+    n = 200
+    for name in ("Box_1_00_000", "Remote_2_00_000"):
+        xyz = rng.rand(n, 3).astype(np.float32)
+        rgb = rng.rand(n, 3).astype(np.float32)
+        sem = rng.randint(0, 10, n).astype(np.int32)
+        ins = rng.randint(-1, 3, n).astype(np.int32)
+        ins[ins == -1] = -100
+        # make instance labels follow sem>0 structure loosely
+        npcs = (rng.rand(n, 3).astype(np.float32) - 0.5)
+        idx = rng.randint(0, 800, (n, 2)).astype(np.int32)
+        torch.save((xyz, rgb, sem, ins, npcs, idx), d / f"{name}.pth")
+    return d
+
+
+def test_load_pth_tuple(pth_dir):
+    d = load_cloud_file(str(pth_dir / "Box_1_00_000.pth"))
+    assert d["points"].shape == (200, 6)
+    assert d["sem_labels"].dtype == np.int32
+    assert d["gt_npcs"].shape == (200, 3)
+    assert d["pc_id"] == "Box_1_00_000"
+    assert d["obj_cat"] == 0  # Box
+
+
+def test_dataset_pth_end_to_end(pth_dir):
+    ds = GAPartNetDataset(
+        pth_dir, max_points=256, max_instances=8, augmentation=True,
+        pos_jitter=0.1, color_jitter=0.3, flip_prob=0.3, rotate_prob=0.3,
+    )
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["points"].shape == (256, 6)
+    assert s["point_mask"].sum() == 200
+    assert (s["sem_labels"][200:] == -100).all()
+    batch = collate([ds[0], ds[1]])
+    assert batch["points"].shape == (2, 256, 6)
+    assert len(batch["pc_ids"]) == 2
+
+
+def test_compact_instance_labels():
+    ins = np.array([-100, 5, 5, 9, -100, 2])
+    out = compact_instance_labels(ins)
+    np.testing.assert_array_equal(out, [-100, 1, 1, 2, -100, 0])
+
+
+def test_augmentations_preserve_shape_and_colors(rng):
+    pts = rng.rand(100, 6).astype(np.float32)
+    out = apply_augmentations(
+        pts, np.random.RandomState(0), pos_jitter=0.0, color_jitter=0.0,
+        flip_prob=0.0, rotate_prob=1.0,
+    )
+    # pure z-rotation: z column unchanged, xy norms preserved
+    np.testing.assert_allclose(out[:, 2], pts[:, 2], atol=1e-6)
+    np.testing.assert_allclose(
+        np.linalg.norm(out[:, :2], axis=1),
+        np.linalg.norm(pts[:, :2], axis=1), rtol=1e-5,
+    )
+    np.testing.assert_allclose(out[:, 3:], pts[:, 3:])
+
+
+def test_shard_files():
+    paths = [f"f{i}" for i in range(10)]
+    s0 = shard_files(paths, 0, 4)
+    s1 = shard_files(paths, 1, 4)
+    assert s0 == ["f0", "f4", "f8"]
+    assert s1 == ["f1", "f5", "f9"]
+    all_shards = sum((shard_files(paths, i, 4) for i in range(4)), [])
+    assert sorted(all_shards) == paths

@@ -163,27 +163,13 @@ def build_downsample(keys: jnp.ndarray, out_capacity: int) -> DownsampleMap:
 # convolution application (batched: leading B dimension everywhere)
 # ---------------------------------------------------------------------------
 
-def subm_conv_apply(
-    features: jnp.ndarray,  # (B, V, Cin)
-    nbr: jnp.ndarray,       # (B, K, V)
-    weights: jnp.ndarray,   # (K, Cin, Cout)
-    compute_dtype=None,     # e.g. jnp.bfloat16: halves gather bytes, 2x MXU
-) -> jnp.ndarray:
-    """Submanifold conv: per-tap sorted gathers + accumulated MXU matmuls.
+def _subm_conv_forward(features, nbr, weights):
+    """One fused (K*V)-row gather, then a single (V, K*Cin) matmul; measured
 
-    Rulebook rows are ascending (built by searchsorted over ascending target
-    keys), so each tap's gather carries the `indices_are_sorted` hint.  Taps
-    are accumulated one matmul at a time, which keeps the working set at
-    (V, Cin) instead of materializing (V, K*Cin).
-    """
+    faster than per-tap gathers at batch (the gather engine amortizes the
+    index stream better on one large gather)."""
     k, cin, cout = weights.shape
-    if compute_dtype is not None:
-        features = features.astype(compute_dtype)
-        weights = weights.astype(compute_dtype)
 
-    # one fused (K*V)-row gather, then a single (V, K*Cin) matmul; measured
-    # faster than per-tap gathers at batch (the gather engine amortizes the
-    # index stream better on one large gather)
     def one(feats, nbr_s):
         g = feats[nbr_s.clip(0)]                       # (K, V, Cin)
         g = jnp.where((nbr_s >= 0)[..., None], g, jnp.zeros((), g.dtype))
@@ -196,6 +182,61 @@ def subm_conv_apply(
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+@jax.custom_vjp
+def _subm_conv(features, nbr, weights):
+    return _subm_conv_forward(features, nbr, weights)
+
+
+def _subm_conv_fwd(features, nbr, weights):
+    # save ONLY the inputs: the (B, V, K*Cin) gathered tensor (~0.5 GB per
+    # conv at training shapes) is recomputed in backward instead of stored —
+    # without this a batch-16 training step overflows HBM
+    return _subm_conv_forward(features, nbr, weights), (features, nbr, weights)
+
+
+def _subm_conv_bwd(res, g):
+    features, nbr, weights = res
+    k, cin, cout = weights.shape
+    g = g.astype(features.dtype)
+    # d_feats[j] = sum_m g[nbr_m(j)] @ W[26-m]^T: the pair (i reads j at
+    # offset o) transposes to (j reads i at -o), and reversing the x-major
+    # tap enumeration negates offsets — so backward is the same conv with
+    # tap-reversed transposed weights (no scatter needed)
+    w_rev_t = jnp.flip(weights, axis=0).transpose(0, 2, 1)
+    d_feats = _subm_conv_forward(g, nbr, w_rev_t).astype(features.dtype)
+
+    # dW[k] = sum_b gather_k(feats)^T @ g, recomputed per tap to keep the
+    # working set at one (B, V, Cin) slice
+    def dw_tap(kk):
+        def one(f, n, gi):
+            gk = f[n[kk].clip(0)]
+            gk = jnp.where((n[kk] >= 0)[:, None], gk, jnp.zeros((), gk.dtype))
+            return jax.lax.dot_general(
+                gk, gi, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return jax.vmap(one)(features, nbr, g).sum(0)
+
+    d_w = jnp.stack([dw_tap(kk) for kk in range(k)]).astype(weights.dtype)
+    return d_feats, None, d_w
+
+
+_subm_conv.defvjp(_subm_conv_fwd, _subm_conv_bwd)
+
+
+def subm_conv_apply(
+    features: jnp.ndarray,  # (B, V, Cin)
+    nbr: jnp.ndarray,       # (B, K, V)
+    weights: jnp.ndarray,   # (K, Cin, Cout)
+    compute_dtype=None,     # e.g. jnp.bfloat16: halves gather bytes, 2x MXU
+) -> jnp.ndarray:
+    """Submanifold conv: gather-GEMM with a memory-lean custom VJP."""
+    if compute_dtype is not None:
+        features = features.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+    return _subm_conv(features, nbr, weights)
 
 
 def linear_conv_apply(features: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:

@@ -51,14 +51,17 @@ def main():
         )
         return out.sem_preds, out.score_preds, out.npcs_preds
 
+    import numpy as np
+
     for _ in range(WARMUP):
         out = infer(batch)
-    jax.block_until_ready(out)
+    np.asarray(out[0])  # force completion (block_until_ready does not sync
+    # through the remote-device tunnel; a device-to-host fetch does)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = infer(batch)
-    jax.block_until_ready(out)
+        _ = float(out[1][0, 0])  # scalar fetch forces each iteration
     dt = time.perf_counter() - t0
 
     clouds_per_sec = BATCH_SIZE * ITERS / dt

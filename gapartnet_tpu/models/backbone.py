@@ -94,6 +94,13 @@ class UBlock(nn.Module):
     block_repeat: int
     level: int = 0
     compute_dtype: Any = None
+    remat: bool = False  # rematerialize ResBlocks in backward (bigger batches)
+
+    def _block(self, ch, name):
+        cls = (
+            nn.remat(ResBlock, static_argnums=(4,)) if self.remat else ResBlock
+        )
+        return cls(ch, self.compute_dtype, name=name)
 
     @nn.compact
     def __call__(self, features, hierarchy: GridHierarchy, train: bool):
@@ -103,7 +110,7 @@ class UBlock(nn.Module):
 
         x = features
         for r in range(self.block_repeat):
-            x = ResBlock(self.channels[0], self.compute_dtype, name=f"enc{r}")(x, nbr, mask, train)
+            x = self._block(self.channels[0], f"enc{r}")(x, nbr, mask, train)
         skip = x
 
         if len(self.channels) > 1:
@@ -120,7 +127,7 @@ class UBlock(nn.Module):
 
             x = UBlock(
                 tuple(self.channels[1:]), self.block_repeat, li + 1,
-                self.compute_dtype, name="ublock",
+                self.compute_dtype, self.remat, name="ublock",
             )(x, hierarchy, train)
 
             w_up = self.param(
@@ -131,9 +138,9 @@ class UBlock(nn.Module):
             x = nn.relu(x)
 
             x = jnp.concatenate([x, skip], axis=-1)
-            x = ResBlock(self.channels[0], self.compute_dtype, name="dec0")(x, nbr, mask, train)
+            x = self._block(self.channels[0], "dec0")(x, nbr, mask, train)
             for r in range(1, self.block_repeat):
-                x = ResBlock(self.channels[0], self.compute_dtype, name=f"dec{r}")(x, nbr, mask, train)
+                x = self._block(self.channels[0], f"dec{r}")(x, nbr, mask, train)
         return x
 
 
@@ -142,6 +149,7 @@ class SparseUNet(nn.Module):
     block_repeat: int = 2
     without_stem: bool = False
     compute_dtype: Any = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, features, hierarchy: GridHierarchy, train: bool = True):
@@ -155,5 +163,5 @@ class SparseUNet(nn.Module):
             x = nn.relu(x)
         return UBlock(
             tuple(self.channels), self.block_repeat, 0, self.compute_dtype,
-            name="ublock",
+            self.remat, name="ublock",
         )(x, hierarchy, train)

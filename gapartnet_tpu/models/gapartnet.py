@@ -71,6 +71,8 @@ class GAPartNetConfig:
     hash_node_capacity: int = 8192
     # conv gather/matmul precision: "float32" or "bfloat16" (f32 accumulate)
     conv_compute_dtype: str = "float32"
+    # rematerialize backbone ResBlocks in backward (larger train batches)
+    remat_blocks: bool = False
     # rulebook neighbor lookup: "dense" = O(1) int16 coordinate tables
     # (fast; bounded by input_grid_extent), "sort" = searchsorted (no bound)
     rulebook_impl: str = "dense"
@@ -222,7 +224,7 @@ class GAPartNet(nn.Module):
             )
             voxel_out = SparseUNet(
                 cfg.channels, cfg.block_repeat, compute_dtype=cdtype,
-                name="backbone",
+                remat=cfg.remat_blocks, name="backbone",
             )(vfeats, hierarchy, train)
             pc_feats = _gather_per_point(voxel_out, pc_voxel_id)  # (B, N, fea)
         elif cfg.backbone_type == "PointNet":
@@ -419,7 +421,8 @@ class GAPartNet(nn.Module):
             )
             sfeat = SparseUNet(
                 cfg.channels[:2], cfg.block_repeat, without_stem=True,
-                compute_dtype=cdtype, name="score_unet",
+                compute_dtype=cdtype, remat=cfg.remat_blocks,
+                name="score_unet",
             )(prop_vfeats, prop_hier, train)
             entry_sf = _gather_entries_from_voxels(sfeat, entry_voxel_id, prop.entry_mask)
             pooled = jax.vmap(
@@ -456,7 +459,8 @@ class GAPartNet(nn.Module):
             )
             nfeat = SparseUNet(
                 cfg.channels[:2], cfg.block_repeat, without_stem=True,
-                compute_dtype=cdtype, name="npcs_unet",
+                compute_dtype=cdtype, remat=cfg.remat_blocks,
+                name="npcs_unet",
             )(prop_vfeats, prop_hier, train)
             npcs_all = nn.Dense(3 * (c - 1), name="npcs_head")(nfeat)
             entry_npcs = _gather_entries_from_voxels(

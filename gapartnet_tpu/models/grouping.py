@@ -78,15 +78,17 @@ def cluster_single(
     if impl == "hash":
         from gapartnet_tpu.ops.hash_ccl import hash_connected_components
 
-        # run both cluster sets as one vmapped batch of 2: the CCL loop is
-        # latency-bound, so stacking halves its serial cost
-        both = jax.vmap(
-            lambda xyz: hash_connected_components(
-                xyz, sem_preds, valid, ball_query_radius,
-                node_capacity=hash_node_capacity,
-            )
-        )(jnp.stack([pt_xyz, pt_xyz + offsets]))
-        lab1, lab2 = both[0], both[1]
+        # NOTE: stacking the two sets into one vmapped batch was measured
+        # SLOWER (238 -> 340 ms B1 full): the extra vmap layer degrades the
+        # dense-table scatter/gather layouts more than it saves loop latency
+        lab1 = hash_connected_components(
+            pt_xyz, sem_preds, valid, ball_query_radius,
+            node_capacity=hash_node_capacity,
+        )
+        lab2 = hash_connected_components(
+            pt_xyz + offsets, sem_preds, valid, ball_query_radius,
+            node_capacity=hash_node_capacity,
+        )
     else:
         nbr1, _ = ball_query_single(
             pt_xyz, sem_preds, valid, ball_query_radius, max_num_points_per_query

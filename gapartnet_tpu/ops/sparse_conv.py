@@ -207,20 +207,19 @@ def _subm_conv_bwd(res, g):
     w_rev_t = jnp.flip(weights, axis=0).transpose(0, 2, 1)
     d_feats = _subm_conv_forward(g, nbr, w_rev_t).astype(features.dtype)
 
-    # dW = gathered^T @ g with the forward's (B, V, K*Cin) gather recomputed
-    # ONCE (a single fused gather beats 27 per-tap gathers; the transient is
-    # freed immediately after the matmul)
-    def regather(f, n):
-        gk = f[n.clip(0)]                                  # (K, V, Cin)
-        gk = jnp.where((n >= 0)[..., None], gk, jnp.zeros((), gk.dtype))
-        return jnp.transpose(gk, (1, 0, 2)).reshape(-1, k * cin)
+    # dW[k] = sum_b gather_k(feats)^T @ g, recomputed per tap to keep the
+    # working set at one (B, V, Cin) slice
+    def dw_tap(kk):
+        def one(f, n, gi):
+            gk = f[n[kk].clip(0)]
+            gk = jnp.where((n[kk] >= 0)[:, None], gk, jnp.zeros((), gk.dtype))
+            return jax.lax.dot_general(
+                gk, gi, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return jax.vmap(one)(features, nbr, g).sum(0)
 
-    gathered = jax.vmap(regather)(features, nbr)           # (B, V, K*Cin)
-    d_w = jax.lax.dot_general(
-        gathered, g,
-        dimension_numbers=(((0, 1), (0, 1)), ((), ())),    # contract B and V
-        preferred_element_type=jnp.float32,
-    ).reshape(k, cin, cout).astype(weights.dtype)
+    d_w = jnp.stack([dw_tap(kk) for kk in range(k)]).astype(weights.dtype)
     return d_feats, None, d_w
 
 

@@ -21,7 +21,10 @@ from tests.test_model_forward import SMALL_CFG
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_sharded_train_step_matches_single_device(rng):
-    cfg = dataclasses.replace(SMALL_CFG, max_points=256)
+    cfg = dataclasses.replace(
+        SMALL_CFG, max_points=256, channels=(8, 16),
+        level_capacity_divisors=(1, 2),
+    )
     model = GAPartNet(cfg)
     d = synthetic_batch(rng, batch_size=8, num_points=256, num_parts=3, max_instances=8)
     ids = d.pop("pc_ids")

@@ -19,9 +19,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: Optional[int] = None, axis_name: str = "dp") -> Mesh:
-    devices = jax.devices()
+def make_mesh(
+    num_devices: Optional[int] = None,
+    axis_name: str = "dp",
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} devices are available"
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

@@ -10,11 +10,17 @@ evaluation with the released `release.ckpt` / `all_best_7816.ckpt`
 Layout notes
 ------------
 * torch Linear weight (out, in) -> flax Dense kernel (in, out): transpose.
-* spconv SubMConv3d k=3 weight: spconv2 stores (out, kz, ky, kx, in); our
-  kernel is (27, in, out) with offsets enumerated x-major ((dx,dy,dz), dz
-  fastest) over [-1,0,1].  `spatial_order` selects how the 27 taps map; the
-  default "zyx" reverses the spatial axes before flattening, "xyz" keeps
-  them.  Validate against activations when the real checkpoint is available.
+* spconv SubMConv3d k=3 weight: spconv2 stores KRSC (out, k0, k1, k2, in)
+  with kernel spatial dim i aligned to coordinate column i of the indices —
+  which the reference feeds in point-axis order (x, y, z): epic_ops voxelize
+  output goes straight into SparseConvTensor (dataset/gapartnet.py:188-195,
+  structure/point_cloud.py:145-162).  Our kernel is (27, in, out) with taps
+  enumerated x-major ((dx,dy,dz), dz fastest) over [-1,0,1], applied as
+  cross-correlation — so the correct `spatial_order` is "xyz" (keep the
+  stored spatial axes; no flip).  PROVEN mechanically by the dense-grid
+  oracle tests in tests/test_ckpt_layout.py: on a fully-occupied grid the
+  "xyz" conversion equals lax.conv_general_dilated for subm/strided/inverse
+  convs and "zyx" does not.  "zyx" is kept only as an A/B escape hatch.
 * SparseConv3d / SparseInverseConv3d k=2 weights -> our (8, in, out) with
   pos = x<<2 | y<<1 | z.
 * BatchNorm: weight->scale, bias->bias, running_mean/var -> batch_stats.
@@ -25,7 +31,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 
-def _conv_kernel(w: np.ndarray, spatial_order: str = "zyx") -> np.ndarray:
+def _conv_kernel(w: np.ndarray, spatial_order: str = "xyz") -> np.ndarray:
     """(out, k, k, k, in) -> (k^3, in, out) with x-major tap enumeration."""
     assert w.ndim == 5, w.shape
     out_c, k0, k1, k2, in_c = w.shape
@@ -122,7 +128,7 @@ def convert_reference_state_dict(
     sd: Dict[str, np.ndarray],
     channels=(16, 32, 48, 64, 80, 96, 112),
     block_repeat: int = 2,
-    spatial_order: str = "zyx",
+    spatial_order: str = "xyz",
 ) -> Tuple[Dict, Dict]:
     """Returns (params, batch_stats) flax trees for models/gapartnet.GAPartNet."""
     sd = {k: np.asarray(v) for k, v in sd.items()}

@@ -8,11 +8,14 @@ evaluation over val / test_intra / test_inter with the exact reference
 thresholds (score > 0.09, > 3 points, NMS IoU 0.3, AP IoU 0.50:0.05:0.95).
 
     python tools/eval_parity.py --data data/GAPartNet_All --ckpt release.ckpt \
-        [--spatial-order zyx|xyz] [--batch 8]
+        [--spatial-order xyz|zyx] [--clustering exact|hash] [--batch 8]
 
-Use --spatial-order to A/B the spconv kernel-tap layout if AP looks degraded;
-activation-level verification of the conversion needs the real checkpoint
-(absent from this environment — see ROADMAP.md round-2 priorities).
+The spconv kernel-tap layout is proven "xyz" by the dense-grid oracle tests
+(tests/test_ckpt_layout.py); --spatial-order zyx remains as an A/B escape
+hatch only.  Clustering defaults to the exact reference-parity path (ball
+query with the 50/300 per-query caps + CCL) so the proposal sets match the
+reference's neighbor semantics; use --clustering hash to measure the fast
+path's AP delta.
 """
 
 import argparse
@@ -27,7 +30,8 @@ def main():
     ap.add_argument("--data", required=True)
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--spatial-order", default="zyx", choices=["zyx", "xyz"])
+    ap.add_argument("--spatial-order", default="xyz", choices=["xyz", "zyx"])
+    ap.add_argument("--clustering", default="exact", choices=["exact", "hash"])
     ap.add_argument("--splits", nargs="*", default=["val", "test_intra", "test_inter"])
     ap.add_argument("--bf16", action="store_true", help="bf16 conv compute")
     args = ap.parse_args()
@@ -39,7 +43,8 @@ def main():
 
     cfg = Config(
         model=GAPartNetConfig(
-            conv_compute_dtype="bfloat16" if args.bf16 else "float32"
+            conv_compute_dtype="bfloat16" if args.bf16 else "float32",
+            clustering_impl=args.clustering,
         ),
         data=DataConfig(
             root_dir=args.data, val_batch_size=args.batch,

@@ -298,6 +298,8 @@ class GAPartNetInference:
             proposal_size=jnp.asarray(sizes)[None],
             proposal_mask=jnp.asarray(np.arange(p) < m)[None],
             num_proposals=jnp.asarray([m], jnp.int32),
+            num_dropped=jnp.asarray([max(masks.shape[0] - m, 0)], jnp.int32),
+            ccl_overflow=jnp.zeros((1,), jnp.int32),
         )
         batch = self._wrap_points(points)
         out = jax.jit(

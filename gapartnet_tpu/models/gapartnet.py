@@ -23,9 +23,11 @@ from flax import struct
 from gapartnet_tpu.constants import SYMMETRY_INDICES
 from gapartnet_tpu.models import losses as L
 from gapartnet_tpu.models.backbone import SparseUNet
+from gapartnet_tpu.models.dense_unet import DenseProposalUNet
 from gapartnet_tpu.models.grouping import (
     SampleProposals,
     cluster_single,
+    segmented_dense_voxelize_single,
     segmented_voxelize_single,
 )
 from gapartnet_tpu.models.norm import MaskedBatchNorm
@@ -34,6 +36,7 @@ from gapartnet_tpu.ops.segment import segment_max, segment_mean, segment_min
 from gapartnet_tpu.ops.sparse_conv import build_hierarchy
 from gapartnet_tpu.ops.voxelize import voxelize_single
 from gapartnet_tpu.structures import PointCloudBatch
+from gapartnet_tpu.utils import invariants as inv
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +79,11 @@ class GAPartNetConfig:
     # rulebook neighbor lookup: "dense" = O(1) int16 coordinate tables
     # (fast; bounded by input_grid_extent), "sort" = searchsorted (no bound)
     rulebook_impl: str = "dense"
+    # ScoreNet/NPCSNet conv implementation: "dense" runs the proposal UNets
+    # as XLA conv3d over dense (P, 28^3) grids — MXU path, no rulebooks, no
+    # dedup sort, no voxel-capacity overflow (models/dense_unet.py); "sparse"
+    # is the rulebook gather-GEMM path (numerically equal, gather-bound)
+    proposal_conv_impl: str = "dense"
     # level-0 coordinate bound for dense rulebooks; 1 cm voxels on
     # ball-normalized clouds span <= ~260 cells (reference envelope);
     # out-of-extent voxels (extreme augmentation) lose neighbor links only
@@ -120,6 +128,10 @@ class ModelOutput:
     # npcs stage
     npcs_preds: Optional[jnp.ndarray] = None      # (B, 2N, 3) per entry
     npcs_valid: Optional[jnp.ndarray] = None      # (B, 2N)
+    # capacity-overflow counters, (B,) each; all-zero in healthy runs.
+    # Surfaced as metrics (train/loop.py) and asserted zero under
+    # GAPARTNET_CHECKS so fixed-shape overflows never silently depress AP.
+    counters: Optional[Any] = None
     # losses (scalars; 0 where stage off)
     loss_sem_seg: jnp.ndarray = 0.0
     loss_offset_dist: jnp.ndarray = 0.0
@@ -210,6 +222,7 @@ class GAPartNet(nn.Module):
         # input grid + backbone
         # ------------------------------------------------------------------
         fea = cfg.channels[0]
+        counters = {}
         if cfg.backbone_type == "SparseUNet":
             keys, vfeats, nvox, pc_voxel_id = prepare_input_grid(
                 points, point_mask, cfg
@@ -218,6 +231,9 @@ class GAPartNet(nn.Module):
                 keys, nvox, list(cfg.input_capacities()),
                 extent=cfg.input_grid_extent
                 if cfg.rulebook_impl == "dense" else None,
+            )
+            counters["backbone_voxels_dropped"] = sum(
+                ds.num_dropped for ds in hierarchy.downsamples
             )
             cdtype = (
                 jnp.bfloat16 if cfg.conv_compute_dtype == "bfloat16" else None
@@ -305,6 +321,7 @@ class GAPartNet(nn.Module):
             loss_offset_dir=loss_off_dir,
             all_accu=all_accu,
             pixel_accu=pixel_accu,
+            counters=counters,
         )
         if not do_cluster:
             return out
@@ -336,44 +353,79 @@ class GAPartNet(nn.Module):
                 )
             )(pt_xyz, stop_offsets, sem_preds, cluster_valid)
 
-        # shared random cube-placement jitter (grouping_utils.py:86-91)
+        # random cube-placement jitter: two independent uniform(3) draws,
+        # matching the reference's two torch.rand(3) (grouping_utils.py:86-91)
         if train:
-            rand3 = jax.random.uniform(self.make_rng("proposal_jitter"), (3,))
+            rand = jax.random.uniform(self.make_rng("proposal_jitter"), (2, 3))
+            rand_a, rand_b = rand[0], rand[1]
         else:
-            rand3 = jnp.full((3,), 0.5, jnp.float32)
-        grid = jax.vmap(
-            lambda xyz, pr: segmented_voxelize_single(
-                xyz, pr, rand3, cfg.max_proposals,
-                cfg.score_fullscale, cfg.score_scale,
-            )
-        )(pt_xyz, prop)
+            rand_a = rand_b = jnp.full((3,), 0.5, jnp.float32)
 
-        # cap the proposal-grid voxel capacity (keys are sorted, so slicing
-        # keeps the lowest keys deterministically; overflow entries detach)
-        vcap = cfg.proposal_capacities()[0]
-        grid_keys = grid.keys[:, :vcap]
-        grid_nvox = jnp.minimum(grid.num_voxels, vcap)
-        entry_voxel_id = jnp.where(
-            grid.entry_voxel_id < vcap, grid.entry_voxel_id, -1
-        )
-
-        # proposal-grid extent: 32^3 cell per proposal laid out on a
-        # (32, 32, 32)-cell super-grid (grouping.PROPOSAL_CELL layout)
-        pext = (
-            1024,
-            32 * min(-(-cfg.max_proposals // 32), 32),
-            32 * (-(-cfg.max_proposals // 1024)),
-        )
-        prop_hier = build_hierarchy(
-            grid_keys, grid_nvox, list(cfg.proposal_capacities()),
-            extent=pext if cfg.rulebook_impl == "dense" else None,
-        )
+        dense_mode = cfg.proposal_conv_impl == "dense"
         entry_feats = _gather_entries(pc_feats, prop.entry_point, prop.entry_mask)
-        entry_voxel_ok = prop.entry_mask & (entry_voxel_id >= 0)
-        # voxel features = mean of entry features (reduction="mean")
-        prop_vfeats = jax.vmap(
-            lambda f, vid, m: segment_mean(f, vid.clip(0), vcap, mask=m)
-        )(entry_feats, entry_voxel_id, entry_voxel_ok)
+        s = int(cfg.score_fullscale)
+        p_cap = cfg.max_proposals
+        if dense_mode:
+            # dense path: entries map straight to sites of the (P, S^3) grid —
+            # no dedup sort, no rulebooks, no voxel-capacity overflow
+            entry_cell = jax.vmap(
+                lambda xyz, pr: segmented_dense_voxelize_single(
+                    xyz, pr, rand_a, rand_b, p_cap,
+                    cfg.score_fullscale, cfg.score_scale,
+                )
+            )(pt_xyz, prop)  # (B, 2N)
+            entry_ok = prop.entry_mask & (entry_cell >= 0)
+            nsites = p_cap * s * s * s
+            # voxel features = mean of entry features (reduction="mean")
+            grid_flat = jax.vmap(
+                lambda f, cid, m: segment_mean(f, cid.clip(0), nsites, mask=m)
+            )(entry_feats, entry_cell, entry_ok)  # (B, P*S^3, C)
+            occ_flat = jax.vmap(
+                lambda cid, m: jnp.zeros((nsites,), bool)
+                .at[jnp.where(m, cid, nsites)]
+                .set(True, mode="drop")
+            )(entry_cell, entry_ok)
+            grid_feats = grid_flat.reshape(b * p_cap, s, s, s, fea)
+            occ = occ_flat.reshape(b * p_cap, s, s, s)
+            prop_hier = prop_vfeats = entry_voxel_id = None
+            counters["proposal_voxels_dropped"] = jnp.zeros((b,), jnp.int32)
+        else:
+            grid = jax.vmap(
+                lambda xyz, pr: segmented_voxelize_single(
+                    xyz, pr, rand_a, rand_b, p_cap,
+                    cfg.score_fullscale, cfg.score_scale,
+                )
+            )(pt_xyz, prop)
+
+            # cap the proposal-grid voxel capacity (keys are sorted, so slicing
+            # keeps the lowest keys deterministically; overflow entries detach)
+            vcap = cfg.proposal_capacities()[0]
+            grid_keys = grid.keys[:, :vcap]
+            grid_nvox = jnp.minimum(grid.num_voxels, vcap)
+            entry_voxel_id = jnp.where(
+                grid.entry_voxel_id < vcap, grid.entry_voxel_id, -1
+            )
+
+            # proposal-grid extent: 32^3 cell per proposal laid out on a
+            # (32, 32, 32)-cell super-grid (grouping.PROPOSAL_CELL layout)
+            pext = (
+                1024,
+                32 * min(-(-cfg.max_proposals // 32), 32),
+                32 * (-(-cfg.max_proposals // 1024)),
+            )
+            prop_hier = build_hierarchy(
+                grid_keys, grid_nvox, list(cfg.proposal_capacities()),
+                extent=pext if cfg.rulebook_impl == "dense" else None,
+            )
+            entry_voxel_ok = prop.entry_mask & (entry_voxel_id >= 0)
+            # voxel features = mean of entry features (reduction="mean")
+            prop_vfeats = jax.vmap(
+                lambda f, vid, m: segment_mean(f, vid.clip(0), vcap, mask=m)
+            )(entry_feats, entry_voxel_id, entry_voxel_ok)
+            grid_feats = occ = entry_cell = None
+            counters["proposal_voxels_dropped"] = (
+                grid.num_voxels - grid_nvox
+            ) + sum(ds.num_dropped for ds in prop_hier.downsamples)
 
         # proposal representative point (min point index; the reference takes
         # its first entry after sorting, model.py:552-557)
@@ -410,7 +462,16 @@ class GAPartNet(nn.Module):
                 batch.num_points_per_instance[:, : cfg.max_instances],
             )
 
-        out = out.replace(proposals=prop, proposal_sem=proposal_sem, ious=ious)
+        counters["dropped_proposals"] = prop.num_dropped
+        counters["ccl_node_overflow"] = prop.ccl_overflow
+        for cname, cval in counters.items():
+            inv.check_traced(
+                jnp.all(cval == 0), "capacity overflow in " + cname
+            )
+        out = out.replace(
+            proposals=prop, proposal_sem=proposal_sem, ious=ious,
+            counters=counters,
+        )
 
         # ------------------------------------------------------------------
         # ScoreNet (model.py:113-116,348-385)
@@ -419,15 +480,30 @@ class GAPartNet(nn.Module):
             cdtype = (
                 jnp.bfloat16 if cfg.conv_compute_dtype == "bfloat16" else None
             )
-            sfeat = SparseUNet(
-                cfg.channels[:2], cfg.block_repeat, without_stem=True,
-                compute_dtype=cdtype, remat=cfg.remat_blocks,
-                name="score_unet",
-            )(prop_vfeats, prop_hier, train)
-            entry_sf = _gather_entries_from_voxels(sfeat, entry_voxel_id, prop.entry_mask)
-            pooled = jax.vmap(
-                lambda f, pid, m: segment_max(f, pid.clip(0), cfg.max_proposals, mask=m)
-            )(entry_sf, prop.entry_proposal, prop.entry_mask)
+            c0 = cfg.channels[0]
+            if dense_mode:
+                sfeat = DenseProposalUNet(
+                    cfg.channels[:2], cfg.block_repeat, compute_dtype=cdtype,
+                    remat=cfg.remat_blocks, name="score_unet",
+                )(grid_feats, occ, train)  # (B*P, S, S, S, C0)
+                # segmented maxpool (model.py:360-362) = masked max over sites
+                pooled = jnp.where(
+                    occ[..., None], sfeat, jnp.float32(-jnp.inf)
+                ).reshape(b, p_cap, s * s * s, c0).max(axis=2)
+            else:
+                sfeat = SparseUNet(
+                    cfg.channels[:2], cfg.block_repeat, without_stem=True,
+                    compute_dtype=cdtype, remat=cfg.remat_blocks,
+                    name="score_unet",
+                )(prop_vfeats, prop_hier, train)
+                entry_sf = _gather_entries_from_voxels(
+                    sfeat, entry_voxel_id, prop.entry_mask
+                )
+                pooled = jax.vmap(
+                    lambda f, pid, m: segment_max(
+                        f, pid.clip(0), cfg.max_proposals, mask=m
+                    )
+                )(entry_sf, prop.entry_proposal, prop.entry_mask)
             pooled = jnp.where(prop.proposal_mask[..., None], pooled, 0.0)
             score_all = nn.Dense(c - 1, name="score_head")(pooled)  # (B, P, 9)
             score_logits = jnp.take_along_axis(
@@ -457,15 +533,28 @@ class GAPartNet(nn.Module):
             cdtype = (
                 jnp.bfloat16 if cfg.conv_compute_dtype == "bfloat16" else None
             )
-            nfeat = SparseUNet(
-                cfg.channels[:2], cfg.block_repeat, without_stem=True,
-                compute_dtype=cdtype, remat=cfg.remat_blocks,
-                name="npcs_unet",
-            )(prop_vfeats, prop_hier, train)
-            npcs_all = nn.Dense(3 * (c - 1), name="npcs_head")(nfeat)
-            entry_npcs = _gather_entries_from_voxels(
-                npcs_all, entry_voxel_id, prop.entry_mask
-            )  # (B, 2N, 27)
+            if dense_mode:
+                nfeat = DenseProposalUNet(
+                    cfg.channels[:2], cfg.block_repeat, compute_dtype=cdtype,
+                    remat=cfg.remat_blocks, name="npcs_unet",
+                )(grid_feats, occ, train)  # (B*P, S, S, S, C0)
+                nf_flat = nfeat.reshape(b, p_cap * s * s * s, cfg.channels[0])
+                # gather per entry BEFORE the (linear) head — identical result,
+                # 27x fewer head FLOPs than head-on-grid
+                entry_nf = _gather_entries_from_voxels(
+                    nf_flat, entry_cell, prop.entry_mask
+                )  # (B, 2N, C0)
+                entry_npcs = nn.Dense(3 * (c - 1), name="npcs_head")(entry_nf)
+            else:
+                nfeat = SparseUNet(
+                    cfg.channels[:2], cfg.block_repeat, without_stem=True,
+                    compute_dtype=cdtype, remat=cfg.remat_blocks,
+                    name="npcs_unet",
+                )(prop_vfeats, prop_hier, train)
+                npcs_all = nn.Dense(3 * (c - 1), name="npcs_head")(nfeat)
+                entry_npcs = _gather_entries_from_voxels(
+                    npcs_all, entry_voxel_id, prop.entry_mask
+                )  # (B, 2N, 27)
             entry_npcs = entry_npcs.reshape(b, -1, c - 1, 3)
             entry_sem_pred = _gather_entries(
                 sem_preds, prop.entry_point, prop.entry_mask

@@ -51,6 +51,9 @@ class SampleProposals(NamedTuple):
     proposal_size: jnp.ndarray   # (P,) int32
     proposal_mask: jnp.ndarray   # (P,) bool
     num_proposals: jnp.ndarray   # () int32
+    # overflow counters (silent-capacity diagnostics; zero in healthy runs)
+    num_dropped: jnp.ndarray     # () int32 proposals beyond max_proposals
+    ccl_overflow: jnp.ndarray    # () int32 hash-CCL node-table overflow
 
 
 def cluster_single(
@@ -81,14 +84,15 @@ def cluster_single(
         # NOTE: stacking the two sets into one vmapped batch was measured
         # SLOWER (238 -> 340 ms B1 full): the extra vmap layer degrades the
         # dense-table scatter/gather layouts more than it saves loop latency
-        lab1 = hash_connected_components(
+        lab1, ovf1 = hash_connected_components(
             pt_xyz, sem_preds, valid, ball_query_radius,
             node_capacity=hash_node_capacity,
         )
-        lab2 = hash_connected_components(
+        lab2, ovf2 = hash_connected_components(
             pt_xyz + offsets, sem_preds, valid, ball_query_radius,
             node_capacity=hash_node_capacity,
         )
+        ccl_overflow = ovf1 + ovf2
     else:
         nbr1, _ = ball_query_single(
             pt_xyz, sem_preds, valid, ball_query_radius, max_num_points_per_query
@@ -99,6 +103,7 @@ def cluster_single(
             max_num_points_per_query_shift,
         )
         lab2 = connected_components_single(nbr2, valid)
+        ccl_overflow = jnp.zeros((), jnp.int32)
 
     # entries: set-1 clusters keyed by [0, N), set-2 by [N, 2N)
     sentinel = 2 * n
@@ -125,7 +130,8 @@ def cluster_single(
     pid = jnp.where(pid < max_proposals, pid, -1)
     entry_mask = pid >= 0
 
-    num_proposals = jnp.minimum(keep_raw.sum(), max_proposals).astype(jnp.int32)
+    num_kept = keep_raw.sum().astype(jnp.int32)
+    num_proposals = jnp.minimum(num_kept, max_proposals)
     proposal_size = segment_sum(
         jnp.ones((m,), jnp.int32), pid, max_proposals, mask=entry_mask
     )
@@ -138,6 +144,8 @@ def cluster_single(
         proposal_size=proposal_size,
         proposal_mask=proposal_mask,
         num_proposals=num_proposals,
+        num_dropped=num_kept - num_proposals,
+        ccl_overflow=ccl_overflow,
     )
 
 
@@ -147,17 +155,24 @@ class ProposalGrid(NamedTuple):
     entry_voxel_id: jnp.ndarray  # (2N,) voxel id per entry, -1 invalid
 
 
-def segmented_voxelize_single(
+def proposal_cube_coords(
     pt_xyz: jnp.ndarray,           # (N, 3)
     prop: SampleProposals,
-    rand3: jnp.ndarray,            # (3,) uniform [0,1) — shared jitter, matching
-                                   # the reference's single torch.rand(3)
-                                   # (grouping_utils.py:86-91)
+    rand_a: jnp.ndarray,           # (3,) uniform [0,1) — min-clamp jitter draw
+    rand_b: jnp.ndarray,           # (3,) uniform [0,1) — max-clamp jitter draw;
+                                   # the reference draws TWO independent
+                                   # torch.rand(3) (grouping_utils.py:86-91)
     max_proposals: int,
     score_fullscale: float = 28.0,
     score_scale: float = 50.0,
-) -> ProposalGrid:
-    """Normalize each proposal into the fullscale cube and voxelize (unit voxel)."""
+):
+    """Per-entry integer cube coordinates in [0, fullscale)^3.
+
+    Normalizes each proposal into the `score_fullscale` cube with clamped
+    scale and random placement jitter, exactly mirroring the reference's
+    segmented_voxelize (grouping_utils.py:47-104).  Returns
+    (coords (2N, 3) int32, pidc (2N,) clipped proposal id, mask (2N,)).
+    """
     p = max_proposals
     exyz = pt_xyz[prop.entry_point]  # (2N, 3)
     pidc = jnp.clip(prop.entry_proposal, 0, p - 1)
@@ -183,13 +198,30 @@ def segmented_voxelize_single(
     range_xyz = max_xyz - min_xyz
     offs = (
         -min_xyz
-        + jnp.clip(score_fullscale - range_xyz - 0.001, min=0.0) * rand3[None, :]
-        + jnp.clip(score_fullscale - range_xyz + 0.001, max=0.0) * rand3[None, :]
+        + jnp.clip(score_fullscale - range_xyz - 0.001, min=0.0) * rand_a[None, :]
+        + jnp.clip(score_fullscale - range_xyz + 0.001, max=0.0) * rand_b[None, :]
     )
     scaled = scaled + offs[pidc]
 
     coords = jnp.clip(
         jnp.floor(scaled).astype(jnp.int32), 0, int(score_fullscale) - 1
+    )
+    return coords, pidc, mask
+
+
+def segmented_voxelize_single(
+    pt_xyz: jnp.ndarray,           # (N, 3)
+    prop: SampleProposals,
+    rand_a: jnp.ndarray,
+    rand_b: jnp.ndarray,
+    max_proposals: int,
+    score_fullscale: float = 28.0,
+    score_scale: float = 50.0,
+) -> ProposalGrid:
+    """Normalize each proposal into the fullscale cube and voxelize (unit
+    voxel) into the virtual PROPOSAL_CELL key space (sparse conv path)."""
+    coords, pidc, mask = proposal_cube_coords(
+        pt_xyz, prop, rand_a, rand_b, max_proposals, score_fullscale, score_scale
     )
     cell = jnp.stack(
         [pidc % PROPOSAL_CELL, (pidc // PROPOSAL_CELL) % PROPOSAL_CELL,
@@ -202,3 +234,26 @@ def segmented_voxelize_single(
     return ProposalGrid(
         keys=unique_keys, num_voxels=num_voxels, entry_voxel_id=entry_voxel_id
     )
+
+
+def segmented_dense_voxelize_single(
+    pt_xyz: jnp.ndarray,           # (N, 3)
+    prop: SampleProposals,
+    rand_a: jnp.ndarray,
+    rand_b: jnp.ndarray,
+    max_proposals: int,
+    score_fullscale: float = 28.0,
+    score_scale: float = 50.0,
+) -> jnp.ndarray:
+    """Per-entry linear site index into the dense (P, S, S, S) proposal grid.
+
+    The dense conv path (models/dense_unet.py) needs no dedup, no sort, and
+    no rulebooks: the dense grid IS the voxel table.  Returns entry_cell
+    (2N,) int32 = ((pid*S + x)*S + y)*S + z, or -1 for invalid entries.
+    """
+    s = int(score_fullscale)
+    coords, pidc, mask = proposal_cube_coords(
+        pt_xyz, prop, rand_a, rand_b, max_proposals, score_fullscale, score_scale
+    )
+    lin = ((pidc * s + coords[:, 0]) * s + coords[:, 1]) * s + coords[:, 2]
+    return jnp.where(mask, lin, -1)

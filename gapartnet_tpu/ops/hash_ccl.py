@@ -59,17 +59,19 @@ def hash_connected_components(
     max_iters: int = 32,
     max_degree: int = 48,
     node_capacity: int = 0,
-) -> jnp.ndarray:
+):
     """One sample; vmap over the batch.
 
-    Returns (N,) int32 labels: the minimum point index of each connected
-    component (invalid points label themselves).
+    Returns (labels (N,) int32, node_overflow () int32): labels are the
+    minimum point index of each connected component (invalid points label
+    themselves); node_overflow counts (cell, label) nodes beyond
+    node_capacity whose points were isolated into singletons.
 
     node_capacity caps the (cell, label) node table (0 = N).  Real clouds
     occupy a few thousand nodes; a tight cap (e.g. N//2) shrinks every
     probe/edge structure proportionally.  Points whose node overflows the cap
-    become isolated singletons (tracked implicitly; they fail min-points
-    filtering downstream).
+    become isolated singletons — surface the overflow counter as a metric
+    (models/gapartnet.py counters) so this never silently depresses AP.
     """
     n = pt_xyz.shape[0]
     m = node_capacity or n
@@ -225,4 +227,5 @@ def hash_connected_components(
         min_point[root_per_point.clip(0)],
         jnp.arange(n, dtype=jnp.int32),
     )
-    return out
+    node_overflow = (first.sum() - num_nodes).astype(jnp.int32)
+    return out, node_overflow

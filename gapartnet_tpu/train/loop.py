@@ -73,8 +73,12 @@ def create_train_state(
 
 
 def loss_metrics(out: ModelOutput) -> Dict[str, jnp.ndarray]:
-    """Metric names match the reference logging contract (model.py:607-657)."""
-    return {
+    """Metric names match the reference logging contract (model.py:607-657).
+
+    Capacity-overflow counters (ModelOutput.counters) are appended under
+    counters/* — nonzero values mean a fixed-shape capacity silently clipped
+    real data and AP may be depressed; raise the corresponding capacity."""
+    metrics = {
         "loss/total_loss": out.total_loss,
         "loss/loss_sem_seg": out.loss_sem_seg,
         "loss/loss_offset_dist": out.loss_offset_dist,
@@ -84,6 +88,9 @@ def loss_metrics(out: ModelOutput) -> Dict[str, jnp.ndarray]:
         "all_accu": out.all_accu * 100.0,
         "pixel_accu": out.pixel_accu * 100.0,
     }
+    for k in sorted(out.counters or ()):
+        metrics[f"counters/{k}"] = jnp.sum(out.counters[k]).astype(jnp.float32)
+    return metrics
 
 
 def make_train_step(

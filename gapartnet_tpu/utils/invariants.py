@@ -52,6 +52,15 @@ def check(pred, msg: str, **fmt):
         assert bool(value), msg.format(**fmt) if fmt else msg
 
 
+def check_traced(pred, msg: str, **fmt):
+    """Like check(), but only active in 'jit' mode — for call sites that live
+    inside always-jitted code, where a host-mode np.asarray would fail on the
+    tracer.  Host-mode users should assert on fetched outputs instead."""
+    if _MODE != "jit":
+        return
+    check(pred, msg, **fmt)
+
+
 def check_point_voxel_ids(pc_voxel_id: jnp.ndarray, point_mask: jnp.ndarray):
     """Every valid point maps to a voxel (gapartnet.py:196 assert)."""
     ok = jnp.all(jnp.where(point_mask, pc_voxel_id >= 0, True))

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gapartnet_tpu.models.backbone import SparseUNet
 from gapartnet_tpu.ops.sparse_conv import build_hierarchy
@@ -18,6 +19,7 @@ def _setup(rng, caps=(64, 32, 16), na=(40, 28)):
     return h, nv
 
 
+@pytest.mark.slow
 def test_sparse_unet_forward(rng):
     h, nv = _setup(rng)
     feats = jnp.asarray(rng.rand(2, 64, 6).astype(np.float32))

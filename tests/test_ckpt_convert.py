@@ -10,6 +10,10 @@ import pytest
 from gapartnet_tpu.train.ckpt_convert import convert_reference_state_dict
 
 
+# full-model jit compiles dominate: run with -m 'not slow' for the fast suite
+pytestmark = pytest.mark.slow
+
+
 def _bn_entries(sd, prefix, c):
     sd[prefix + ".weight"] = np.random.rand(c).astype(np.float32)
     sd[prefix + ".bias"] = np.random.rand(c).astype(np.float32)

@@ -9,6 +9,11 @@ import numpy as np
 from gapartnet_tpu.eval.ap import batch_to_records, select_eval_proposals
 from tests.test_model_forward import SMALL_CFG, _batch
 
+import pytest
+
+# full-model jit compiles dominate: run with -m 'not slow' for the fast suite
+pytestmark = pytest.mark.slow
+
 
 def test_select_eval_proposals_semantics(rng):
     from gapartnet_tpu.models.gapartnet import GAPartNet

@@ -14,6 +14,11 @@ import numpy as np
 from gapartnet_tpu.models.gapartnet import GAPartNet
 from tests.test_model_forward import SMALL_CFG, _batch
 
+import pytest
+
+# full-model jit compiles dominate: run with -m 'not slow' for the fast suite
+pytestmark = pytest.mark.slow
+
 GOLDEN = dict(
     loss_sem_seg=2.796346664428711,
     loss_offset_dist=0.11734303832054138,

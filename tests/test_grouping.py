@@ -5,6 +5,11 @@ import numpy as np
 from gapartnet_tpu.models.grouping import cluster_single, segmented_voxelize_single
 from tests.oracles import ball_query_oracle, ccl_oracle
 
+import pytest
+
+# full-model jit compiles dominate: run with -m 'not slow' for the fast suite
+pytestmark = pytest.mark.slow
+
 
 def _cluster_oracle(xyz, shifted, sem, valid, radius, k1, k2, min_pts):
     """Reference dual-set semantics (model.py:228-314): per-set components on
@@ -70,7 +75,9 @@ def test_segmented_voxelize_cube_bounds(rng):
         jnp.asarray(valid), 0.5, 8, 8, 2, 16,
     )
     grid = segmented_voxelize_single(
-        jnp.asarray(xyz), prop, jnp.asarray([0.3, 0.6, 0.9], jnp.float32),
+        jnp.asarray(xyz), prop,
+        jnp.asarray([0.3, 0.6, 0.9], jnp.float32),
+        jnp.asarray([0.8, 0.1, 0.4], jnp.float32),
         max_proposals=16, score_fullscale=28.0, score_scale=50.0,
     )
     em = np.asarray(prop.entry_mask)

@@ -49,7 +49,7 @@ def test_hash_ccl_matches_radius_graph(rng):
     got = np.asarray(
         hash_connected_components(
             jnp.asarray(xyz), jnp.asarray(sem), jnp.asarray(valid), r
-        )
+        )[0]
     )
     want = _radius_graph_components(xyz, sem, valid, r)
     assert _partition(got, valid) == _partition(want, valid)
@@ -74,7 +74,7 @@ def test_hash_ccl_dense_blobs(rng):
     got = np.asarray(
         hash_connected_components(
             jnp.asarray(xyz), jnp.asarray(sem), jnp.asarray(valid), 0.04, reps=8
-        )
+        )[0]
     )
     want = _radius_graph_components(xyz, sem, valid, 0.04)
     assert _partition(got, valid) == _partition(want, valid)
@@ -87,7 +87,7 @@ def test_hash_ccl_invalid_points_isolated(rng):
     got = np.asarray(
         hash_connected_components(
             jnp.asarray(xyz), jnp.asarray(sem), jnp.asarray(valid), 0.04
-        )
+        )[0]
     )
     np.testing.assert_array_equal(got[:5], 0)     # one component
     np.testing.assert_array_equal(got[5:], np.arange(5, 10))  # isolated selves

@@ -12,6 +12,10 @@ from gapartnet_tpu.infer.api import (
 from tests.test_model_forward import SMALL_CFG
 
 
+# full-model jit compiles dominate: run with -m 'not slow' for the fast suite
+pytestmark = pytest.mark.slow
+
+
 def test_backproject_depth_roundtrip(rng):
     K = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
     depth = np.zeros((48, 64), np.float32)

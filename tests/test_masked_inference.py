@@ -4,6 +4,11 @@ from gapartnet_tpu.data.synthetic import synthetic_cloud
 from gapartnet_tpu.infer.api import GAPartNetInference
 from tests.test_model_forward import SMALL_CFG
 
+import pytest
+
+# full-model jit compiles dominate: run with -m 'not slow' for the fast suite
+pytestmark = pytest.mark.slow
+
 
 def test_predict_with_masks(rng):
     infer = GAPartNetInference(cfg=SMALL_CFG)

@@ -8,6 +8,10 @@ from gapartnet_tpu.models.gapartnet import GAPartNet, GAPartNetConfig
 from gapartnet_tpu.structures import PointCloudBatch
 
 
+# full-model jit compiles dominate: run with -m 'not slow' for the fast suite
+pytestmark = pytest.mark.slow
+
+
 SMALL_CFG = GAPartNetConfig(
     channels=(8, 16, 24),
     block_repeat=2,

@@ -19,6 +19,10 @@ from gapartnet_tpu.train.loop import adam, create_train_state, make_train_step
 from tests.test_model_forward import SMALL_CFG
 
 
+# full-model jit compiles dominate: run with -m 'not slow' for the fast suite
+pytestmark = pytest.mark.slow
+
+
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_sharded_train_step_matches_single_device(rng):
     cfg = dataclasses.replace(

@@ -7,6 +7,11 @@ import numpy as np
 from gapartnet_tpu.models.pointnet import PointNetSegBackbone
 from tests.test_model_forward import SMALL_CFG, _batch
 
+import pytest
+
+# full-model jit compiles dominate: run with -m 'not slow' for the fast suite
+pytestmark = pytest.mark.slow
+
 
 def test_pointnet_backbone_shapes(rng):
     model = PointNetSegBackbone(fea_dim=16)

@@ -13,6 +13,10 @@ import yaml
 from gapartnet_tpu.data.synthetic import synthetic_cloud
 
 
+# full-model jit compiles dominate: run with -m 'not slow' for the fast suite
+pytestmark = pytest.mark.slow
+
+
 N_POINTS = 256
 
 

@@ -69,9 +69,11 @@ class GAPartNetConfig:
     # clustering implementation: "hash" (fast TPU path) or "exact"
     # (reference first-K semantics; O(N^2), for parity testing)
     clustering_impl: str = "hash"
-    # (cell, label) node-table capacity for the hash clustering (0 = N).
-    # Real clouds occupy a few thousand nodes; probe/edge costs scale with it.
-    hash_node_capacity: int = 8192
+    # (cell, label) node-table capacity PER SET for the hash clustering
+    # (0 = N).  Real clouds occupy 1-5k nodes (probe/edge/propagation costs
+    # all scale with it); overflow is counted in counters/ccl_node_overflow,
+    # so a tight cap fails loudly, not silently.
+    hash_node_capacity: int = 4096
     # conv gather/matmul precision: "float32" or "bfloat16" (f32 accumulate)
     conv_compute_dtype: str = "float32"
     # rematerialize backbone ResBlocks in backward (larger train batches)

@@ -81,18 +81,25 @@ def cluster_single(
     if impl == "hash":
         from gapartnet_tpu.ops.hash_ccl import hash_connected_components
 
-        # NOTE: stacking the two sets into one vmapped batch was measured
-        # SLOWER (238 -> 340 ms B1 full): the extra vmap layer degrades the
-        # dense-table scatter/gather layouts more than it saves loop latency
-        lab1, ovf1 = hash_connected_components(
-            pt_xyz, sem_preds, valid, ball_query_radius,
-            node_capacity=hash_node_capacity,
+        # ONE merged call clusters both sets: set-2 cells are displaced past
+        # the set-1 grid (hash_ccl SET_STRIDE), so no cross-set edges exist
+        # and the sort / probe dispatch / propagation-loop latencies are paid
+        # once.  (NOTE: vmap-stacking the two sets was measured SLOWER,
+        # 238 -> 340 ms B1 full — the extra vmap layer degrades the dense-
+        # table scatter/gather layouts; concatenation keeps layouts flat.)
+        both = jnp.concatenate([pt_xyz, pt_xyz + offsets])
+        set_mask = jnp.arange(2 * n) >= n
+        lab, ccl_overflow = hash_connected_components(
+            both,
+            jnp.concatenate([sem_preds, sem_preds]),
+            jnp.concatenate([valid, valid]),
+            ball_query_radius,
+            node_capacity=2 * hash_node_capacity if hash_node_capacity else 0,
+            set_mask=set_mask,
         )
-        lab2, ovf2 = hash_connected_components(
-            pt_xyz + offsets, sem_preds, valid, ball_query_radius,
-            node_capacity=hash_node_capacity,
-        )
-        ccl_overflow = ovf1 + ovf2
+        # labels are min point indices in the 2N space; components never span
+        # sets, so set-2 labels map back by -n (invalid selves included)
+        lab1, lab2 = lab[:n], lab[n:] - n
     else:
         nbr1, _ = ball_query_single(
             pt_xyz, sem_preds, valid, ball_query_radius, max_num_points_per_query
@@ -105,28 +112,26 @@ def cluster_single(
         lab2 = connected_components_single(nbr2, valid)
         ccl_overflow = jnp.zeros((), jnp.int32)
 
-    # entries: set-1 clusters keyed by [0, N), set-2 by [N, 2N)
-    sentinel = 2 * n
-    keys = jnp.concatenate(
-        [jnp.where(valid, lab1, sentinel), jnp.where(valid, n + lab2, sentinel)]
-    )
-    point_idx = jnp.concatenate([jnp.arange(n, dtype=jnp.int32)] * 2)
-
-    order = jnp.argsort(keys, stable=True)
-    sk = keys[order]
-    sp = point_idx[order]
-    entry_valid = sk < sentinel
-    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & entry_valid
-    rid = jnp.cumsum(first.astype(jnp.int32)) - 1  # raw proposal id per entry
-
+    # entries: set-1 clusters keyed by [0, N), set-2 by [N, 2N).  Labels are
+    # min-point-index keys, so compact proposal ids come from a scatter +
+    # cumsum over the dense key table — no sort (TPU sorts are expensive;
+    # entries stay in natural point order, and every downstream consumer is
+    # a segment reduce or gather, which is order-independent).  Proposal
+    # numbering (ascending key = (set, component label)) matches the
+    # reference's unique_consecutive compaction order (model.py:281-314).
     m = 2 * n
-    sizes_raw = segment_sum(
-        jnp.ones((m,), jnp.int32), rid, m, mask=entry_valid
+    keys = jnp.concatenate(
+        [jnp.where(valid, lab1, m), jnp.where(valid, n + lab2, m)]
     )
+    sp = jnp.concatenate([jnp.arange(n, dtype=jnp.int32)] * 2)
+    entry_valid = keys < m
+
+    sizes_raw = jnp.zeros((m + 1,), jnp.int32).at[keys].add(1)[:m]
     keep_raw = sizes_raw >= min_num_points_per_proposal
-    keep_entry = entry_valid & keep_raw[jnp.clip(rid, 0, m - 1)]
     compact_of_raw = jnp.cumsum(keep_raw.astype(jnp.int32)) - 1
-    pid = jnp.where(keep_entry, compact_of_raw[jnp.clip(rid, 0, m - 1)], -1)
+    kc = jnp.clip(keys, 0, m - 1)
+    keep_entry = entry_valid & keep_raw[kc]
+    pid = jnp.where(keep_entry, compact_of_raw[kc], -1)
     pid = jnp.where(pid < max_proposals, pid, -1)
     entry_mask = pid >= 0
 

@@ -39,6 +39,12 @@ LABEL_BITS = 4         # < 16 semantic classes
 MAX_LABELS_PER_CELL = 4  # probe depth in the dense cell table; a 2.3 cm cell
                          # rarely straddles more than a few part classes
 KEY_SENTINEL = jnp.iinfo(jnp.int32).max
+# dual-set mode: set-2 cells are shifted by SET_STRIDE along x — a >2-cell
+# gap past the 128-cell set-1 region, so the 125 probe offsets (|d|inf <= 2)
+# can never connect nodes across sets; one call clusters both sets at once
+# (one sort, one probe, one label-propagation loop instead of two)
+SET_STRIDE = 131
+CELL_X_EXTENT = SET_STRIDE + (1 << CELL_BITS)  # 259
 
 
 def _pack_node(cell: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
@@ -49,7 +55,8 @@ def _pack_node(cell: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("reps", "max_iters", "max_degree", "node_capacity"))
+@partial(jax.jit, static_argnames=(
+    "reps", "max_iters", "max_degree", "node_capacity", "debug_stage"))
 def hash_connected_components(
     pt_xyz: jnp.ndarray,
     sem_labels: jnp.ndarray,
@@ -59,6 +66,8 @@ def hash_connected_components(
     max_iters: int = 32,
     max_degree: int = 48,
     node_capacity: int = 0,
+    debug_stage: str = "",
+    set_mask: jnp.ndarray = None,
 ):
     """One sample; vmap over the batch.
 
@@ -72,6 +81,13 @@ def hash_connected_components(
     probe/edge structure proportionally.  Points whose node overflows the cap
     become isolated singletons — surface the overflow counter as a metric
     (models/gapartnet.py counters) so this never silently depresses AP.
+
+    set_mask (N,) bool, optional: dual-set mode.  True points belong to an
+    independent second point set (the offset-shifted set of the dual-set
+    clustering, model.py:263-278); their cells are displaced by SET_STRIDE
+    along x, so both sets cluster in ONE call with no cross-set edges —
+    halving the fixed costs (sort, probe dispatch, propagation-loop latency)
+    vs two calls.
     """
     n = pt_xyz.shape[0]
     m = node_capacity or n
@@ -83,6 +99,8 @@ def hash_connected_components(
     cell = jnp.floor((pt_xyz - mn) / s).astype(jnp.int32)
     in_grid = jnp.all((cell >= 0) & (cell < (1 << CELL_BITS)), axis=-1)
     ok = valid & in_grid & (sem_labels >= 0) & (sem_labels < (1 << LABEL_BITS))
+    if set_mask is not None:
+        cell = cell.at[:, 0].add(jnp.where(set_mask, SET_STRIDE, 0))
 
     keys = jnp.where(ok, _pack_node(cell, sem_labels), KEY_SENTINEL)
     order = jnp.argsort(keys)  # stable: point order preserved within a node
@@ -114,52 +132,64 @@ def hash_connected_components(
 
     rep_ok = rep_table >= 0
     rep_xyz = pt_xyz[rep_table.clip(0)]              # (N, reps, 3)
+    if debug_stage == "nodes":  # stage profiling (tools/ccl_bench.py)
+        return point_node, node_keys, rep_xyz
 
     node_cell_key = node_keys >> LABEL_BITS
     c = 1 << CELL_BITS
+    # x is NOT masked by % c: in dual-set mode it ranges up to CELL_X_EXTENT
     node_cell = jnp.stack(
-        [(node_cell_key // (c * c)) % c, (node_cell_key // c) % c, node_cell_key % c],
+        [node_cell_key // (c * c), (node_cell_key // c) % c, node_cell_key % c],
         axis=-1,
     )
     node_label = node_keys & ((1 << LABEL_BITS) - 1)
     node_valid = jnp.arange(m) < num_nodes
 
-    # Dense cell-start table for O(1) neighbor-node lookup: nodes are sorted
-    # by (cell, label) key, so each cell's nodes are contiguous; a 128^3 int32
-    # table maps cell -> first node rank.  This replaces sort/searchsorted
-    # lookups (TPU sorts were the dominant cost) with one scatter + gathers.
-    num_cells = c * c * c
+    # Dense per-cell node table for O(1) neighbor-node lookup: nodes are
+    # sorted by (cell, label) key, so each cell's nodes are contiguous; a
+    # (128^3, MAX_LABELS_PER_CELL) table stores packed (node_rank << 4 |
+    # label) entries per cell (-1 empty).  ONE row gather per (offset, node)
+    # yields both the candidate ids and their labels — random element gathers
+    # are the dominant cost on TPU, so fusing the former cell-start element
+    # gather into the row gather is the probe's main saving.
+    num_cells = CELL_X_EXTENT * c * c
     first_in_cell = jnp.concatenate(
         [jnp.ones((1,), bool), node_cell_key[1:] != node_cell_key[:-1]]
     ) & node_valid
-    cell_start = jnp.full((num_cells,), -1, jnp.int32).at[
-        jnp.where(first_in_cell, node_cell_key, num_cells)
-    ].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+    ranks = jnp.arange(m, dtype=jnp.int32)
+    # rank of each cell's first node, broadcast to its members via cummax
+    cell_first_rank = jax.lax.cummax(jnp.where(first_in_cell, ranks, 0))
+    slot = ranks - cell_first_rank                       # position within cell
+    packed = (ranks << LABEL_BITS) | node_label
+    cell_table = jnp.full((num_cells * MAX_LABELS_PER_CELL,), -1, jnp.int32).at[
+        jnp.where(
+            node_valid & (slot < MAX_LABELS_PER_CELL),
+            node_cell_key * MAX_LABELS_PER_CELL + slot,
+            num_cells * MAX_LABELS_PER_CELL,
+        )
+    ].set(packed, mode="drop").reshape(num_cells, MAX_LABELS_PER_CELL)
 
     # 125 neighbor-cell offsets
     rng = jnp.arange(-2, 3)
     offsets = jnp.stack(jnp.meshgrid(rng, rng, rng, indexing="ij"), -1).reshape(-1, 3)
 
     tgt_cell = node_cell[None, :, :] + offsets[:, None, :]          # (125, N, 3)
-    tin = jnp.all((tgt_cell >= 0) & (tgt_cell < c), axis=-1) & node_valid[None, :]
+    bound = jnp.asarray([CELL_X_EXTENT, c, c], jnp.int32)
+    tin = jnp.all((tgt_cell >= 0) & (tgt_cell < bound), axis=-1) & node_valid[None, :]
     tgt_cell_key = (
         tgt_cell[..., 0] * c + tgt_cell[..., 1]
     ) * c + tgt_cell[..., 2]
-    tgt_key = jnp.where(
-        tin, _pack_node(tgt_cell, node_label[None, :]), KEY_SENTINEL - 1
+    entries = cell_table[jnp.where(tin, tgt_cell_key, 0)]           # (125, N, 4)
+    hits = (
+        (entries >= 0)
+        & ((entries & ((1 << LABEL_BITS) - 1)) == node_label[None, :, None])
+        & tin[..., None]
     )
-    start = cell_start[jnp.where(tin, tgt_cell_key, 0)]             # (125, N)
-    # a cell holds at most a handful of distinct labels; fetch the first
-    # MAX_LABELS_PER_CELL contiguous node keys with ONE widened row gather
-    # (random element gathers are the dominant cost on TPU)
-    key_windows = jnp.stack(
-        [jnp.roll(node_keys, -j) for j in range(MAX_LABELS_PER_CELL)], axis=-1
-    )  # (N, MAX_LABELS_PER_CELL); row i = node_keys[i : i + 4]
-    windows = key_windows[start.clip(0)]                 # (125, N, 4)
-    hits = (windows == tgt_key[..., None]) & (start >= 0)[..., None] & tin[..., None]
     found_all = jnp.any(hits, axis=-1)
-    off_in_window = jnp.argmax(hits, axis=-1).astype(jnp.int32)
-    vid_all = jnp.clip(start + off_in_window, 0, m - 1)
+    picked = jnp.max(jnp.where(hits, entries, -1), axis=-1)
+    vid_all = jnp.clip(picked >> LABEL_BITS, 0, m - 1)
+    if debug_stage == "probe":
+        return vid_all, found_all
 
     def edge_step(_, args):
         vid, found = args                                 # (G, M), (G, M)
@@ -190,6 +220,8 @@ def hash_connected_components(
     nbr_ids = jnp.where(
         nbr_sorted[:max_degree] < m, nbr_sorted[:max_degree], -1
     )  # (max_degree, M)
+    if debug_stage == "edges":
+        return nbr_ids
 
     # pull-only CCL with pointer jumping (edge relation is symmetric)
     labels0 = jnp.arange(m, dtype=jnp.int32)

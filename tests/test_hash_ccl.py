@@ -91,3 +91,32 @@ def test_hash_ccl_invalid_points_isolated(rng):
     )
     np.testing.assert_array_equal(got[:5], 0)     # one component
     np.testing.assert_array_equal(got[5:], np.arange(5, 10))  # isolated selves
+
+
+def test_dual_set_merged_call_matches_two_calls(rng):
+    """set_mask mode: one merged call == two independent calls per set."""
+    n = 300
+    xyz = rng.rand(n, 3).astype(np.float32) * 0.5
+    offsets = (rng.rand(n, 3).astype(np.float32) - 0.5) * 0.2
+    sem = rng.randint(0, 3, n).astype(np.int32)
+    valid = sem > 0
+    r = 0.04
+
+    lab1, ovf1 = hash_connected_components(
+        jnp.asarray(xyz), jnp.asarray(sem), jnp.asarray(valid), r
+    )
+    lab2, ovf2 = hash_connected_components(
+        jnp.asarray(xyz + offsets), jnp.asarray(sem), jnp.asarray(valid), r
+    )
+
+    both = jnp.concatenate([jnp.asarray(xyz), jnp.asarray(xyz + offsets)])
+    lab, ovf = hash_connected_components(
+        both,
+        jnp.concatenate([jnp.asarray(sem)] * 2),
+        jnp.concatenate([jnp.asarray(valid)] * 2),
+        r,
+        set_mask=jnp.arange(2 * n) >= n,
+    )
+    np.testing.assert_array_equal(np.asarray(lab)[:n], np.asarray(lab1))
+    np.testing.assert_array_equal(np.asarray(lab)[n:] - n, np.asarray(lab2))
+    assert int(ovf) == int(ovf1) + int(ovf2)

@@ -145,29 +145,19 @@ def hash_connected_components(
     node_label = node_keys & ((1 << LABEL_BITS) - 1)
     node_valid = jnp.arange(m) < num_nodes
 
-    # Dense per-cell node table for O(1) neighbor-node lookup: nodes are
-    # sorted by (cell, label) key, so each cell's nodes are contiguous; a
-    # (128^3, MAX_LABELS_PER_CELL) table stores packed (node_rank << 4 |
-    # label) entries per cell (-1 empty).  ONE row gather per (offset, node)
-    # yields both the candidate ids and their labels — random element gathers
-    # are the dominant cost on TPU, so fusing the former cell-start element
-    # gather into the row gather is the probe's main saving.
+    # Dense per-cell first-node table for O(1) neighbor-node lookup: nodes
+    # are sorted by (cell, label) key, so each cell's nodes are contiguous.
+    # cell_start stays RANK-1 (a 2-D (num_cells, 4) packed table was tried —
+    # its trailing dim of 4 tile-pads to 128 lanes on TPU, s32[B, 4243456, 4]
+    # tiles to 17 GB at B8 and OOMs HBM); candidate node keys come from a
+    # small (M, 4) rolling-window table via ONE row gather per (offset, node).
     num_cells = CELL_X_EXTENT * c * c
     first_in_cell = jnp.concatenate(
         [jnp.ones((1,), bool), node_cell_key[1:] != node_cell_key[:-1]]
     ) & node_valid
-    ranks = jnp.arange(m, dtype=jnp.int32)
-    # rank of each cell's first node, broadcast to its members via cummax
-    cell_first_rank = jax.lax.cummax(jnp.where(first_in_cell, ranks, 0))
-    slot = ranks - cell_first_rank                       # position within cell
-    packed = (ranks << LABEL_BITS) | node_label
-    cell_table = jnp.full((num_cells * MAX_LABELS_PER_CELL,), -1, jnp.int32).at[
-        jnp.where(
-            node_valid & (slot < MAX_LABELS_PER_CELL),
-            node_cell_key * MAX_LABELS_PER_CELL + slot,
-            num_cells * MAX_LABELS_PER_CELL,
-        )
-    ].set(packed, mode="drop").reshape(num_cells, MAX_LABELS_PER_CELL)
+    cell_start = jnp.full((num_cells,), -1, jnp.int32).at[
+        jnp.where(first_in_cell, node_cell_key, num_cells)
+    ].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
 
     # 125 neighbor-cell offsets
     rng = jnp.arange(-2, 3)
@@ -179,15 +169,22 @@ def hash_connected_components(
     tgt_cell_key = (
         tgt_cell[..., 0] * c + tgt_cell[..., 1]
     ) * c + tgt_cell[..., 2]
-    entries = cell_table[jnp.where(tin, tgt_cell_key, 0)]           # (125, N, 4)
-    hits = (
-        (entries >= 0)
-        & ((entries & ((1 << LABEL_BITS) - 1)) == node_label[None, :, None])
-        & tin[..., None]
+    tgt_key = jnp.where(
+        tin, _pack_node(tgt_cell, node_label[None, :]), KEY_SENTINEL - 1
     )
+    start = cell_start[jnp.where(tin, tgt_cell_key, 0)]             # (125, N)
+    # a cell holds at most a handful of distinct labels; fetch the first
+    # MAX_LABELS_PER_CELL contiguous node keys with ONE row gather from the
+    # small rolling-window table (random element gathers are the dominant
+    # cost on TPU)
+    key_windows = jnp.stack(
+        [jnp.roll(node_keys, -j) for j in range(MAX_LABELS_PER_CELL)], axis=-1
+    )  # (N, MAX_LABELS_PER_CELL); row i = node_keys[i : i + 4]
+    windows = key_windows[start.clip(0)]                 # (125, N, 4)
+    hits = (windows == tgt_key[..., None]) & (start >= 0)[..., None] & tin[..., None]
     found_all = jnp.any(hits, axis=-1)
-    picked = jnp.max(jnp.where(hits, entries, -1), axis=-1)
-    vid_all = jnp.clip(picked >> LABEL_BITS, 0, m - 1)
+    off_in_window = jnp.argmax(hits, axis=-1).astype(jnp.int32)
+    vid_all = jnp.clip(start + off_in_window, 0, m - 1)
     if debug_stage == "probe":
         return vid_all, found_all
 

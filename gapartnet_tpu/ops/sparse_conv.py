@@ -47,6 +47,27 @@ from gapartnet_tpu.ops.voxelize import (
 # rulebook construction (per sample; vmap over batch)
 # ---------------------------------------------------------------------------
 
+def _window_gather(arr, starts, window: int):
+    """Gather `window` consecutive rows of arr at each start index.
+
+    arr (R, ...) + starts (...) -> (*starts.shape, window, *arr.shape[1:]).
+    One native gather-of-slices: vmap batches it via gather batching dims,
+    which the TPU backend lowers directly.  (An earlier vmap(vmap(
+    dynamic_slice)) formulation materialized a padded s32[B, starts, 4]
+    index tensor at batch — 17 GB at B8 — and OOMed HBM.)
+    Starts must already be clipped to [0, R - window].
+    """
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=tuple(range(starts.ndim, starts.ndim + arr.ndim)),
+        collapsed_slice_dims=(),
+        start_index_map=(0,),
+    )
+    return jax.lax.gather(
+        arr, starts[..., None], dn,
+        slice_sizes=(window,) + arr.shape[1:],
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
 def kernel_offsets(kernel_size: int) -> List[tuple]:
     """Kernel offset enumeration, x-major (dx slowest, dz fastest), matching
 
@@ -108,9 +129,9 @@ def build_subm_rulebook(
             tpad = jnp.concatenate([
                 jnp.full((1,), -1, jnp.int16), table, jnp.full((2,), -1, jnp.int16),
             ])
-            win = jax.vmap(
-                jax.vmap(lambda b2: jax.lax.dynamic_slice(tpad, (b2,), (3,)))
-            )(jnp.clip(base, -1, ex * ey * ez - 1) + 1)  # (9, V, 3)
+            win = _window_gather(
+                tpad, jnp.clip(base, -1, ex * ey * ez - 1) + 1, 3
+            )  # (9, V, 3)
             idx = win.transpose(0, 2, 1).reshape(27, v).astype(jnp.int32)
         else:
             tlin = (tgt[..., 0] * ey + tgt[..., 1]) * ez + tgt[..., 2]
@@ -197,9 +218,7 @@ def _gather_taps_windowed(feats, nbr_s):
     r0 = jnp.min(jnp.where(valid, trip, jnp.int32(v)), axis=1)   # (9, V)
     r0c = jnp.where(r0 < v, r0, 0)
     fp = jnp.concatenate([feats, jnp.zeros((2, cin), feats.dtype)], axis=0)
-    win = jax.vmap(
-        jax.vmap(lambda s: jax.lax.dynamic_slice(fp, (s, 0), (3, cin)))
-    )(r0c)                                               # (9, V, 3, Cin)
+    win = _window_gather(fp, r0c, 3)                     # (9, V, 3, Cin)
     slot = jnp.clip(trip - r0[:, None, :], 0, 2)         # (9, 3, V)
     taps = []
     for j in range(3):
@@ -262,19 +281,26 @@ def _subm_conv_bwd(res, g):
     w_rev_t = jnp.flip(weights, axis=0).transpose(0, 2, 1)
     d_feats = _subm_conv_forward(g, nbr, w_rev_t).astype(features.dtype)
 
-    # dW[k] = sum_b gather_k(feats)^T @ g, recomputed per tap to keep the
-    # working set at one (B, V, Cin) slice
-    def dw_tap(kk):
-        def one(f, n, gi):
-            gk = f[n[kk].clip(0)]
-            gk = jnp.where((n[kk] >= 0)[:, None], gk, jnp.zeros((), gk.dtype))
-            return jax.lax.dot_general(
-                gk, gi, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        return jax.vmap(one)(features, nbr, g).sum(0)
+    # dW = gathered^T @ g with the forward's (B, V, K*Cin) gather recomputed
+    # ONCE via the windowed slice-gather (k=27), then one MXU contraction over
+    # (B, V); the transient is freed right after the matmul.  (A fused
+    # ELEMENT-gather variant was tried and reverted in round 1 — the windowed
+    # gather is what makes the single regather cheaper than 27 per-tap
+    # gathers.)
+    if k == 27:
+        gathered = jax.vmap(_gather_taps_windowed)(features, nbr)
+    else:
+        def regather(f, n):
+            gk = f[n.clip(0)]
+            gk = jnp.where((n >= 0)[..., None], gk, jnp.zeros((), gk.dtype))
+            return jnp.transpose(gk, (1, 0, 2)).reshape(-1, k * cin)
 
-    d_w = jnp.stack([dw_tap(kk) for kk in range(k)]).astype(weights.dtype)
+        gathered = jax.vmap(regather)(features, nbr)       # (B, V, K*Cin)
+    d_w = jax.lax.dot_general(
+        gathered, g,
+        dimension_numbers=(((0, 1), (0, 1)), ((), ())),    # contract B and V
+        preferred_element_type=jnp.float32,
+    ).reshape(k, cin, cout).astype(weights.dtype)
     return d_feats, None, d_w
 
 

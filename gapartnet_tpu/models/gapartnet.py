@@ -589,8 +589,6 @@ class GAPartNet(nn.Module):
                     prop.entry_proposal + jnp.arange(b, dtype=jnp.int32)[:, None] * p,
                     -1,
                 )
-                prop_sym = sym_idx[jnp.clip(proposal_sem, 0, c - 1)]
-                prop_sym = jnp.where(prop.proposal_mask, prop_sym, -1)
                 loss_npcs = L.npcs_loss(
                     npcs_preds.reshape(-1, 3),
                     entry_gt_npcs.reshape(-1, 3),
@@ -598,7 +596,6 @@ class GAPartNet(nn.Module):
                     gpid.reshape(-1),
                     npcs_valid.reshape(-1),
                     b * p,
-                    prop_sym.reshape(-1),
                 )
             out = out.replace(
                 npcs_preds=npcs_preds,

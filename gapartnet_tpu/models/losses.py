@@ -131,17 +131,19 @@ def npcs_loss(
     proposal_ids: jnp.ndarray,    # (E,) int, -1 / masked ignored
     entry_mask: jnp.ndarray,      # (E,) bool
     num_proposals: int,
-    proposal_sym_types: jnp.ndarray,  # (P,) symmetry type per proposal (-1 pad)
 ):
     """Symmetry-aware NPCS loss (grouping_utils.py:14-43, model.py:423-462).
 
     Per point: squared distance to the best orbit image of the GT NPCS,
-    smooth-L1-like:  d2 <= 0.01 ? 5*d2 : sqrt(d2) - 0.05,
-    reduced per proposal (mean over points), min over orbit, then, per
-    symmetry *group* (types {0,1,2}, {3}, {4}), mean over that group's
-    proposals — the three group means are summed (model.py:433-460).
-    Orbits are padded to MAX_SYMMETRY_ORBIT with duplicates, leaving the min
-    unchanged.
+    smooth-L1-like:  d2 <= 0.01 ? 5*d2 : sqrt(d2) - 0.05.  The reference
+    partitions ENTRIES by each point's symmetry group (types {0,1,2} / {3} /
+    {4} from the point's predicted class), segment-means within each
+    (proposal, group) run, takes min over the orbit columns, means over the
+    group's segments, and sums the three group terms — so a mixed-class
+    proposal contributes one segment per group it touches.  Orbits are padded
+    to MAX_SYMMETRY_ORBIT with their first element (the identity, also every
+    orbit's column 0), so padded columns replicate column 0's segment mean
+    and leave the min unchanged even in type-mixed group-1 segments.
     """
     orbits = jnp.asarray(SYMMETRY_ORBITS)  # (5, M, 3, 3)
     sym = orbits[jnp.clip(sym_types, 0, 4)]  # (E, M, 3, 3)
@@ -151,21 +153,22 @@ def npcs_loss(
     per_point = jnp.where(d2 <= 0.01, 5.0 * d2, jnp.sqrt(jnp.maximum(d2, 1e-12)) - 0.05)
 
     ok = entry_mask & (proposal_ids >= 0)
-    total = segment_sum(per_point, proposal_ids, num_proposals, mask=ok)  # (P, M)
-    count = segment_count(proposal_ids, num_proposals, mask=ok)
-    per_prop = total / jnp.maximum(count, 1)[:, None].astype(per_point.dtype)
-    per_prop_min = jnp.min(per_prop, axis=-1)  # (P,)
+    # (proposal, group) segment id; group 0 for types {0,1,2}, 1 {3}, 2 {4}
+    group = jnp.where(sym_types < 3, 0, jnp.where(sym_types == 3, 1, 2))
+    seg = proposal_ids * 3 + group
+    num_segs = num_proposals * 3
+    total = segment_sum(per_point, seg, num_segs, mask=ok)  # (P*3, M)
+    count = segment_count(seg, num_segs, mask=ok)
+    per_seg = total / jnp.maximum(count, 1)[:, None].astype(per_point.dtype)
+    per_seg_min = jnp.min(per_seg, axis=-1)  # (P*3,)
 
     has_points = count > 0
-    # group ids: 0 for types {0,1,2}, 1 for {3}, 2 for {4}
-    group = jnp.where(
-        proposal_sym_types < 3, 0, jnp.where(proposal_sym_types == 3, 1, 2)
-    )
+    seg_group = jnp.arange(num_segs, dtype=jnp.int32) % 3
     loss = jnp.float32(0.0)
     for g in range(3):
-        sel = has_points & (group == g) & (proposal_sym_types >= 0)
+        sel = has_points & (seg_group == g)
         cnt = jnp.maximum(sel.sum(), 1)
-        loss = loss + jnp.where(sel, per_prop_min, 0.0).sum() / cnt
+        loss = loss + jnp.where(sel, per_seg_min, 0.0).sum() / cnt
     return loss
 
 

@@ -93,7 +93,6 @@ def test_npcs_loss_symmetry_invariance(rng):
         L.npcs_loss(
             jnp.asarray(preds), jnp.asarray(gt), jnp.asarray(sym_types),
             jnp.asarray(pids), jnp.asarray(mask), 4,
-            jnp.asarray([3, -1, -1, -1], np.int32),
         )
     )
     th = np.pi / 3
@@ -106,10 +105,60 @@ def test_npcs_loss_symmetry_invariance(rng):
         L.npcs_loss(
             jnp.asarray(preds), jnp.asarray(rotated), jnp.asarray(sym_types),
             jnp.asarray(pids), jnp.asarray(mask), 4,
-            jnp.asarray([3, -1, -1, -1], np.int32),
         )
     )
     np.testing.assert_allclose(base, rot_loss, rtol=1e-4)
+
+
+def torch_npcs_loss(preds, gt, sym_types, pids):
+    """Transcription of the reference loss_proposal_npcs + compute_npcs_loss
+
+    (model.py:423-460, grouping_utils.py:14-43): entries partitioned by each
+    POINT's symmetry group, unique_consecutive segments within the group
+    subset, segment mean -> orbit min -> mean over segments, groups summed."""
+    from gapartnet_tpu.constants import SYMMETRY_ORBIT_SIZES, SYMMETRY_ORBITS
+
+    preds = torch.as_tensor(preds)
+    gt = torch.as_tensor(gt)
+    sym_types = torch.as_tensor(sym_types, dtype=torch.int64)
+    pids = torch.as_tensor(pids, dtype=torch.int64)
+    total = 0.0
+    for g, types in ((0, (0, 1, 2)), (1, (3,)), (2, (4,))):
+        gm = torch.isin(sym_types, torch.as_tensor(types))
+        if not bool(gm.any()):
+            continue
+        p, q, st, pi = preds[gm], gt[gm], sym_types[gm], pids[gm]
+        m = max(SYMMETRY_ORBIT_SIZES[t] for t in types)
+        mats = torch.as_tensor(np.asarray(SYMMETRY_ORBITS))[st][:, :m]  # (n,m,3,3)
+        gt_orbit = (q[:, None, None, :] @ mats).squeeze(2)
+        d2 = ((p[:, None, :] - gt_orbit - 0.5) ** 2).sum(-1)
+        loss = torch.where(d2 <= 0.01, 5 * d2, d2.sqrt() - 0.05)
+        _, counts = torch.unique_consecutive(pi, return_counts=True)
+        seg = torch.segment_reduce(loss, "mean", lengths=counts)
+        total += float(seg.min(dim=-1).values.mean())
+    return total
+
+
+def test_npcs_loss_mixed_class_proposals_vs_torch(rng):
+    """A proposal whose points span symmetry groups must contribute one
+
+    segment per group it touches (the reference's entry-level partition)."""
+    n, num_props = 60, 5
+    preds = rng.rand(n, 3).astype(np.float32)
+    gt = (rng.rand(n, 3).astype(np.float32) - 0.5) * 0.4
+    # sorted proposal ids with mixed symmetry types inside each proposal
+    pids = np.sort(rng.randint(0, num_props, n)).astype(np.int32)
+    sym_types = rng.randint(0, 5, n).astype(np.int32)
+    mask = np.ones(n, bool)
+
+    got = float(
+        L.npcs_loss(
+            jnp.asarray(preds), jnp.asarray(gt), jnp.asarray(sym_types),
+            jnp.asarray(pids), jnp.asarray(mask), num_props,
+        )
+    )
+    want = torch_npcs_loss(preds, gt, sym_types, pids)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
 def test_mean_iou_perfect_and_mixed(rng):

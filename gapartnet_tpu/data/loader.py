@@ -175,7 +175,11 @@ class GAPartNetDataset:
                 p for p in paths
                 if os.path.basename(p).split(".")[0] not in nopart_names
             ]
-        self._rng = np.random.RandomState(seed)
+        self.seed = seed
+        # bumped per epoch (trainer._iter_batches) so augmentation draws vary
+        # across epochs while staying deterministic per (seed, epoch, idx) —
+        # and safe under parallel loader threads (no shared RandomState)
+        self.epoch = 0
         if shuffle:
             shuffled = list(paths)
             random.Random(seed).shuffle(shuffled)
@@ -200,8 +204,11 @@ class GAPartNetDataset:
         assert n <= self.max_points, (n, self.max_points)  # gapartnet.py:123-131
         d["instance_labels"] = compact_instance_labels(d["instance_labels"])
         if self.augmentation:
+            rng = np.random.RandomState(
+                (self.seed * 1000003 + self.epoch * 7919 + idx) % (2**31 - 1)
+            )
             d["points"] = apply_augmentations(
-                d["points"], self._rng,
+                d["points"], rng,
                 self.pos_jitter, self.color_jitter,
                 self.flip_prob, self.rotate_prob,
             )

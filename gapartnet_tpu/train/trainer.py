@@ -96,12 +96,13 @@ def _np_batch_to_device(raw: dict, mesh=None) -> PointCloudBatch:
 
 
 class Prefetcher:
-    """Overlaps host-side sample loading with device compute (replaces the
+    """Decouples host-side batch production from device dispatch: a producer
 
-    reference's num_workers=16 dataloader processes with a thread pool —
-    loading is NumPy/IO bound and releases the GIL)."""
+    thread drains the (already worker-parallel, see _iter_batches) batch
+    generator into a bounded queue so the next batch is collated while the
+    device crunches the current one."""
 
-    def __init__(self, gen, depth: int = 2, workers: int = 4):
+    def __init__(self, gen, depth: int = 2):
         import queue
         import threading
 
@@ -126,31 +127,66 @@ class Prefetcher:
             yield item
 
 
+def _pad_trailing(samples, batch_size):
+    # pad the trailing partial batch by repeating the last sample with an
+    # all-false point mask so batch shape stays static
+    while len(samples) < batch_size:
+        filler = {k: np.copy(v) if isinstance(v, np.ndarray) else v
+                  for k, v in samples[-1].items()}
+        filler["point_mask"] = np.zeros_like(filler["point_mask"])
+        filler["num_points_per_instance"] = np.zeros_like(
+            filler["num_points_per_instance"]
+        )
+        filler["instance_sem_labels"] = np.full_like(
+            filler["instance_sem_labels"], -1
+        )
+        filler["pc_id"] = "__pad__"
+        samples.append(filler)
+    return samples
+
+
 def _iter_batches(dataset: GAPartNetDataset, batch_size: int, drop_last: bool,
-                  shuffle_seed: Optional[int] = None):
+                  shuffle_seed: Optional[int] = None, workers: int = 0,
+                  lookahead: int = 3):
+    """Batch iterator with parallel sample loading.
+
+    `workers` threads load/augment samples concurrently (the reference's
+    num_workers=16 dataloader processes, gapartnet.py:457 — threads suffice
+    here because loading is NumPy/IO bound and releases the GIL), keeping
+    `lookahead` batches in flight.  Augmentation randomness is per-sample
+    deterministic (loader.GAPartNetDataset.epoch), so worker count and
+    scheduling do not change the data stream.
+    """
     order = np.arange(len(dataset))
     if shuffle_seed is not None:
         np.random.RandomState(shuffle_seed).shuffle(order)
+        if hasattr(dataset, "epoch"):
+            dataset.epoch = shuffle_seed
     n = len(order)
     end = n - (n % batch_size) if drop_last else n
-    for s in range(0, end, batch_size):
+    starts = list(range(0, end, batch_size))
+    if workers and workers > 1:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            pending = deque()
+            bi = 0
+            while bi < len(starts) or pending:
+                while bi < len(starts) and len(pending) <= lookahead:
+                    idxs = order[starts[bi] : starts[bi] + batch_size]
+                    pending.append(
+                        [pool.submit(dataset.__getitem__, int(i)) for i in idxs]
+                    )
+                    bi += 1
+                yield collate(
+                    _pad_trailing([f.result() for f in pending.popleft()],
+                                  batch_size)
+                )
+        return
+    for s in starts:
         idxs = order[s : s + batch_size]
-        samples = [dataset[int(i)] for i in idxs]
-        # pad the trailing partial batch by repeating the last sample with an
-        # all-false point mask so batch shape stays static
-        while len(samples) < batch_size:
-            filler = {k: np.copy(v) if isinstance(v, np.ndarray) else v
-                      for k, v in samples[-1].items()}
-            filler["point_mask"] = np.zeros_like(filler["point_mask"])
-            filler["num_points_per_instance"] = np.zeros_like(
-                filler["num_points_per_instance"]
-            )
-            filler["instance_sem_labels"] = np.full_like(
-                filler["instance_sem_labels"], -1
-            )
-            filler["pc_id"] = "__pad__"
-            samples.append(filler)
-        yield collate(samples)
+        yield collate(_pad_trailing([dataset[int(i)] for i in idxs], batch_size))
 
 
 @dataclasses.dataclass
@@ -221,7 +257,20 @@ def load_warm_start(params, batch_stats, ckpt_path: str):
     return params, batch_stats
 
 
-def build_datasets(cfg: Config, stage: str):
+def build_datasets(cfg: Config, stage: str,
+                   process_index: Optional[int] = None,
+                   process_count: Optional[int] = None):
+    """Construct the split datasets; under multi-host execution every split's
+
+    file list is sharded round-robin by process (reference
+    DistributedShardingFilter, dataset/data_utils.py:15-37) — train shards so
+    the global batch covers distinct files, eval shards so each process
+    evaluates a disjoint subset (metrics are then averaged in
+    evaluate_splits)."""
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
     d = cfg.data
     root = Path(d.root_dir)
     common = dict(
@@ -253,6 +302,11 @@ def build_datasets(cfg: Config, stage: str):
             root / sub / "pth", shuffle=False, augmentation=False,
             few_shot=few, **common,
         )
+    if process_count > 1:
+        from gapartnet_tpu.data.loader import shard_files
+
+        for ds in datasets.values():
+            ds.paths = shard_files(ds.paths, process_index, process_count)
     return datasets
 
 
@@ -273,6 +327,12 @@ def visualize_samples(out, keep, batch, cfg: Config, split: str, limit: int):
     em = np.asarray(prop.entry_mask)
     npcs = np.asarray(out.npcs_preds) if out.npcs_preds is not None else None
     pts = np.asarray(batch.points)
+    gt_npcs = np.asarray(batch.gt_npcs) if batch.gt_npcs is not None else None
+    ins_gt_all = (
+        np.asarray(batch.instance_labels)
+        if batch.instance_labels is not None else None
+    )
+    pmask = np.asarray(batch.point_mask)
     n = pts.shape[1]
 
     count = 0
@@ -282,6 +342,24 @@ def visualize_samples(out, keep, batch, cfg: Config, split: str, limit: int):
         ins_map = np.zeros(n, np.int64)
         npcs_map = np.full((n, 3), 230.0 / 255.0, np.float32)
         bboxes = []
+        # GT boxes RANSAC-fit from gt NPCS per GT instance (reference
+        # model.py:954-972 renders bbox_gt the same way from gt fields)
+        gt_bboxes = []
+        if gt_npcs is not None and ins_gt_all is not None:
+            for gi in np.unique(ins_gt_all[bi][pmask[bi]]):
+                if gi < 0:
+                    continue
+                sel = pmask[bi] & (ins_gt_all[bi] == gi)
+                if sel.sum() <= 10:
+                    continue
+                fit = ransac_pose_from_npcs(
+                    jnp.asarray(gt_npcs[bi][sel]),
+                    jnp.asarray(pts[bi, sel, :3]),
+                    jnp.ones(int(sel.sum()), bool),
+                    _jax.random.PRNGKey(int(gi)),
+                )
+                if bool(fit.ok):
+                    gt_bboxes.append(np.asarray(fit.bbox))
         for rank, p in enumerate(np.nonzero(keep[bi])[0]):
             sel = em[bi] & (pid[bi] == p)
             idxs = ep[bi][sel]
@@ -312,9 +390,10 @@ def visualize_samples(out, keep, batch, cfg: Config, split: str, limit: int):
             if batch.instance_labels is not None else None,
             npcs_gt=np.asarray(batch.gt_npcs)[bi] + 0.5
             if batch.gt_npcs is not None else None,
+            gt_bboxes=gt_bboxes,
             save_option=(
                 "pc", "sem_pred", "ins_pred", "npcs_pred", "bbox_pred",
-                "sem_gt", "ins_gt", "npcs_gt",
+                "sem_gt", "ins_gt", "npcs_gt", "bbox_gt",
             ),
         )
         count += 1
@@ -322,16 +401,22 @@ def visualize_samples(out, keep, batch, cfg: Config, split: str, limit: int):
 
 
 def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
-                    logger: MetricLogger, step: int, do_instance: bool):
+                    logger: MetricLogger, step: int, do_instance: bool,
+                    mesh=None):
     """Validation/test over the three splits; returns the monitor metric.
 
-    Metric names follow model.py:694-805/859-1049 exactly.
+    Metric names follow model.py:694-805/859-1049 exactly.  When a device
+    mesh is given, eval batches are sharded over it (the trailing batch is
+    padded to full size, so shapes stay divisible).  Under multi-host
+    execution each process evaluates its file shard and scalar metrics are
+    averaged across processes — the reference's `sync_dist=True` mean
+    (model.py:609-657).
     """
     flags = dict(do_cluster=do_instance, do_score=do_instance, do_npcs=do_instance)
     eval_step = make_eval_step(model, **flags)
     num_classes = cfg.model.num_part_classes
 
-    all_accus, pixel_accus, mious, ap50s, maps = [], [], [], [], []
+    split_stats: Dict[str, Dict[str, float]] = {}
     metrics: Dict[str, float] = {}
     select_fn = None
     for split in SPLITS:
@@ -340,8 +425,9 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
         conf = np.zeros((num_classes, num_classes), np.int64)
         accu_sum, pix_sum, batches = 0.0, 0.0, 0
         visualized = 0
-        for raw in _iter_batches(ds, cfg.data.val_batch_size, drop_last=False):
-            batch = _np_batch_to_device(raw)
+        for raw in _iter_batches(ds, cfg.data.val_batch_size, drop_last=False,
+                                 workers=cfg.data.num_workers):
+            batch = _np_batch_to_device(raw, mesh)
             out = eval_step(state, batch)
             accu_sum += float(out.all_accu)
             pix_sum += float(out.pixel_accu)
@@ -375,6 +461,13 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
             continue
         all_accu = accu_sum / batches
         pixel_accu = pix_sum / batches
+        # THE mIoU definition (one definition, used everywhere): a single
+        # confusion matrix over the whole split's valid (label >= 0) points,
+        # IoU = tp/union per class, classes absent from preds AND labels
+        # count as 1.0.  This equals the reference's kornia mean_iou over the
+        # concatenated split predictions (model.py:878-883, losses.py:21-31)
+        # except for the absent-class case, where kornia yields 0/0 = NaN;
+        # models/losses.mean_iou implements the same definition on device.
         tp = np.diag(conf)
         total = conf.sum(0) + conf.sum(1) - tp
         iou = np.where(total > 0, tp / np.maximum(total, 1e-8), 1.0)
@@ -392,18 +485,32 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
         metrics[f"{split}/all_accu"] = all_accu * 100
         metrics[f"{split}/pixel_accu"] = pixel_accu * 100
         metrics[f"{split}/miou"] = miou * 100
-        all_accus.append(all_accu)
-        pixel_accus.append(pixel_accu)
-        mious.append(miou)
-        ap50s.append(ap50)
-        maps.append(mAP)
+        split_stats[split] = dict(
+            all_accu=all_accu, pixel_accu=pixel_accu, miou=miou,
+            ap50=ap50, mAP=mAP,
+        )
 
-    if len(maps) == 3:
-        metrics["monitor_metrics/mean_all_accu"] = (all_accus[1] + all_accus[2]) / 2 * 100
-        metrics["monitor_metrics/mean_pixel_accu"] = (pixel_accus[1] + pixel_accus[2]) / 2 * 100
-        metrics["monitor_metrics/mean_imou"] = (mious[1] + mious[2]) / 2 * 100
-        metrics["monitor_metrics/mean_AP@50"] = (ap50s[1] + ap50s[2]) / 2 * 100
-        metrics["monitor_metrics/mean_mAP"] = (maps[1] + maps[2]) / 2 * 100
+    # monitor metrics = mean(test_intra, test_inter), keyed by split NAME so
+    # an empty val split cannot shift which splits are averaged
+    # (model.py:1024-1046)
+    if "test_intra" in split_stats and "test_inter" in split_stats:
+        intra, inter = split_stats["test_intra"], split_stats["test_inter"]
+        metrics["monitor_metrics/mean_all_accu"] = (intra["all_accu"] + inter["all_accu"]) / 2 * 100
+        metrics["monitor_metrics/mean_pixel_accu"] = (intra["pixel_accu"] + inter["pixel_accu"]) / 2 * 100
+        metrics["monitor_metrics/mean_imou"] = (intra["miou"] + inter["miou"]) / 2 * 100
+        metrics["monitor_metrics/mean_AP@50"] = (intra["ap50"] + inter["ap50"]) / 2 * 100
+        metrics["monitor_metrics/mean_mAP"] = (intra["mAP"] + inter["mAP"]) / 2 * 100
+
+    if jax.process_count() > 1 and metrics:
+        # cross-process metric mean (reference sync_dist=True): every process
+        # evaluated its own file shard (build_datasets), average the scalars
+        from jax.experimental import multihost_utils
+
+        keys = sorted(metrics)
+        vec = np.asarray([metrics[k] for k in keys], np.float32)
+        gathered = np.asarray(multihost_utils.process_allgather(vec))
+        metrics = dict(zip(keys, gathered.mean(axis=0).tolist()))
+
     logger.log(metrics, step)
     return metrics.get("monitor_metrics/mean_mAP", 0.0), metrics
 
@@ -455,6 +562,7 @@ def fit(cfg: Config):
             _iter_batches(
                 datasets["train"], cfg.data.train_batch_size, drop_last=True,
                 shuffle_seed=cfg.trainer.seed + epoch,
+                workers=cfg.data.num_workers,
             )
         )
         for raw in batches:
@@ -476,7 +584,7 @@ def fit(cfg: Config):
         if (epoch + 1) % cfg.trainer.val_every_n_epochs == 0:
             monitor, _ = evaluate_splits(
                 model, state, cfg, datasets, epoch, logger, gstep,
-                do_instance=flags["do_score"],
+                do_instance=flags["do_score"], mesh=mesh,
             )
             ckpts.save(state, epoch, monitor)
     return state
@@ -488,17 +596,28 @@ def test(cfg: Config):
     logger = MetricLogger(cfg.trainer.log_file, cfg.trainer.use_wandb)
     optimizer = adam(cfg.trainer.learning_rate)
 
+    mesh = None
+    if jax.device_count() > 1 and cfg.data.val_batch_size % jax.device_count() == 0:
+        from gapartnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+
     first_split = next(s for s in SPLITS if len(datasets[s]) > 0)
     example = _np_batch_to_device(
-        next(_iter_batches(datasets[first_split], cfg.data.val_batch_size, False))
+        next(_iter_batches(datasets[first_split], cfg.data.val_batch_size, False)),
+        mesh,
     )
     state = create_train_state(model, example, optimizer, seed=cfg.trainer.seed)
+    if mesh is not None:
+        from gapartnet_tpu.parallel.mesh import replicate_tree
+
+        state = replicate_tree(state, mesh)
     if cfg.trainer.resume_ckpt:
         p, b = load_warm_start(state.params, state.batch_stats, cfg.trainer.resume_ckpt)
         state = state._replace(params=p, batch_stats=b)
 
     _, metrics = evaluate_splits(
-        model, state, cfg, datasets, 0, logger, 0, do_instance=True
+        model, state, cfg, datasets, 0, logger, 0, do_instance=True, mesh=mesh,
     )
     for k in sorted(metrics):
         print(f"{k}: {metrics[k]:.2f}")

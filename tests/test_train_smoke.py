@@ -145,3 +145,66 @@ def test_fit_and_test(config_file, tmp_path, monkeypatch):
     metrics = trainer.test(cfg)
     assert "monitor_metrics/mean_mAP" in metrics
     assert np.isfinite(metrics["monitor_metrics/mean_mAP"])
+
+
+def test_build_datasets_multihost_sharding(config_file):
+    """Every split's file list shards round-robin by process; shards are
+
+    disjoint and cover the full list (data_utils.py:15-37 semantics)."""
+    from gapartnet_tpu.train.config import load_config
+    from gapartnet_tpu.train import trainer
+
+    cfg = load_config(str(config_file))
+    full = trainer.build_datasets(cfg, "fit", process_index=0, process_count=1)
+    s0 = trainer.build_datasets(cfg, "fit", process_index=0, process_count=2)
+    s1 = trainer.build_datasets(cfg, "fit", process_index=1, process_count=2)
+    for split in ("train", "val", "test_intra", "test_inter"):
+        all_paths = set(full[split].paths)
+        p0, p1 = set(s0[split].paths), set(s1[split].paths)
+        assert p0 | p1 == all_paths
+        assert not (p0 & p1)
+        assert abs(len(p0) - len(p1)) <= 1
+
+
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 2, reason="needs 2+ virtual devices"
+)
+def test_sharded_eval_matches_single_device(config_file, tmp_path, monkeypatch):
+    """evaluate_splits over a 2-device mesh must reproduce the single-device
+
+    metrics (AP, mIoU, accuracies) — eval sharding is a layout change only."""
+    import dataclasses
+
+    import jax
+
+    from gapartnet_tpu.models.gapartnet import GAPartNet
+    from gapartnet_tpu.parallel.mesh import make_mesh, replicate_tree
+    from gapartnet_tpu.train import trainer
+    from gapartnet_tpu.train.config import load_config
+    from gapartnet_tpu.train.loop import adam, create_train_state
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(str(config_file))
+    cfg.model = dataclasses.replace(
+        cfg.model, level_capacity_divisors=(1, 2), ball_query_radius=0.1
+    )
+    model = GAPartNet(cfg.model)
+    datasets = trainer.build_datasets(cfg, "test")
+    example = trainer._np_batch_to_device(
+        next(trainer._iter_batches(datasets["val"], cfg.data.val_batch_size, False))
+    )
+    state = create_train_state(model, example, adam(1e-3), seed=0)
+    logger = trainer.MetricLogger(str(tmp_path / "m.jsonl"))
+
+    _, single = trainer.evaluate_splits(
+        model, state, cfg, datasets, 0, logger, 0, do_instance=True, mesh=None
+    )
+    mesh = make_mesh(2)
+    _, sharded = trainer.evaluate_splits(
+        model, replicate_tree(state, mesh), cfg, datasets, 0, logger, 0,
+        do_instance=True, mesh=mesh,
+    )
+    assert set(single) == set(sharded)
+    for k in single:
+        np.testing.assert_allclose(single[k], sharded[k], rtol=1e-4, atol=1e-3,
+                                   err_msg=k)

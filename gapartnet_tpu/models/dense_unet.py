@@ -45,30 +45,38 @@ def _mask(x, occ):
     return jnp.where(occ[..., None], x, jnp.zeros((), x.dtype))
 
 
+def _conv(x, rhs, strides, padding, compute_dtype):
+    """conv3d with optional low-precision compute.
+
+    With a compute dtype, BOTH operands and the declared output share it —
+    conv_general_dilated's AD rule rejects mixed operand/cotangent dtypes
+    (a bf16-in/f32-out conv breaks under value_and_grad) — and the result is
+    upcast to f32 after; the MXU accumulates in f32 internally either way.
+    """
+    if compute_dtype is not None:
+        y = jax.lax.conv_general_dilated(
+            x.astype(compute_dtype), rhs.astype(compute_dtype),
+            window_strides=strides, padding=padding, dimension_numbers=_DIMS,
+        )
+        return y.astype(jnp.float32)
+    return jax.lax.conv_general_dilated(
+        x, rhs, window_strides=strides, padding=padding,
+        dimension_numbers=_DIMS, preferred_element_type=jnp.float32,
+    )
+
+
 def dense_subm_conv(x, w27, compute_dtype=None):
     """k=3 'submanifold' conv as a dense SAME conv (input pre-masked)."""
     k, cin, cout = w27.shape
     rhs = w27.reshape(3, 3, 3, cin, cout)
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        rhs = rhs.astype(compute_dtype)
-    return jax.lax.conv_general_dilated(
-        x, rhs, window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
-        dimension_numbers=_DIMS, preferred_element_type=jnp.float32,
-    )
+    return _conv(x, rhs, (1, 1, 1), [(1, 1)] * 3, compute_dtype)
 
 
 def dense_down_conv(x, w8, compute_dtype=None):
     """k=2 s=2 strided conv (28^3 -> 14^3), pad 0."""
     k, cin, cout = w8.shape
     rhs = w8.reshape(2, 2, 2, cin, cout)
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        rhs = rhs.astype(compute_dtype)
-    return jax.lax.conv_general_dilated(
-        x, rhs, window_strides=(2, 2, 2), padding=[(0, 0)] * 3,
-        dimension_numbers=_DIMS, preferred_element_type=jnp.float32,
-    )
+    return _conv(x, rhs, (2, 2, 2), [(0, 0)] * 3, compute_dtype)
 
 
 def dense_up_conv(x, w8, compute_dtype=None):

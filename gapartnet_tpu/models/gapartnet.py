@@ -84,8 +84,12 @@ class GAPartNetConfig:
     # ScoreNet/NPCSNet conv implementation: "dense" runs the proposal UNets
     # as XLA conv3d over dense (P, 28^3) grids — MXU path, no rulebooks, no
     # dedup sort, no voxel-capacity overflow (models/dense_unet.py); "sparse"
-    # is the rulebook gather-GEMM path (numerically equal, gather-bound)
-    proposal_conv_impl: str = "dense"
+    # is the rulebook gather-GEMM path (numerically equal, gather-bound);
+    # "auto" = dense at eval, sparse at train: saving the dense conv
+    # activations for backward costs (B*P, 28^3, C) tensors at ~2% occupancy
+    # (27 GB at B8 — exceeds HBM), while the sparse path's residuals scale
+    # with the 2N real entries
+    proposal_conv_impl: str = "auto"
     # level-0 coordinate bound for dense rulebooks; 1 cm voxels on
     # ball-normalized clouds span <= ~260 cells (reference envelope);
     # out-of-extent voxels (extreme augmentation) lose neighbor links only
@@ -363,7 +367,9 @@ class GAPartNet(nn.Module):
         else:
             rand_a = rand_b = jnp.full((3,), 0.5, jnp.float32)
 
-        dense_mode = cfg.proposal_conv_impl == "dense"
+        dense_mode = cfg.proposal_conv_impl == "dense" or (
+            cfg.proposal_conv_impl == "auto" and not train
+        )
         entry_feats = _gather_entries(pc_feats, prop.entry_point, prop.entry_mask)
         s = int(cfg.score_fullscale)
         p_cap = cfg.max_proposals

@@ -26,7 +26,7 @@ import numpy as np
 
 from gapartnet_tpu.constants import PART_ID2NAME
 from gapartnet_tpu.data.loader import GAPartNetDataset, collate
-from gapartnet_tpu.eval.ap import APEvaluator, batch_to_records, select_eval_proposals
+from gapartnet_tpu.eval.ap import APEvaluator, select_eval_proposals
 from gapartnet_tpu.models.gapartnet import GAPartNet, GAPartNetConfig
 from gapartnet_tpu.structures import PointCloudBatch
 from gapartnet_tpu.train.config import Config
@@ -400,6 +400,83 @@ def visualize_samples(out, keep, batch, cfg: Config, split: str, limit: int):
     return count
 
 
+def make_reduced_eval_step(model, cfg: Config, do_instance: bool):
+    """Eval step that reduces on DEVICE and returns only small arrays.
+
+    Fetching whole ModelOutputs per eval batch moves (B, N)-sized tensors
+    host-side (slow through a remote-device tunnel); AP/mIoU only need the
+    per-proposal keep mask, scores, classes, IoUs and the (C, C) confusion
+    matrix, all computed here inside the jitted step.
+    """
+    import jax.numpy as jnp
+
+    from gapartnet_tpu.ops.segment import segment_min, segment_sum
+
+    flags = dict(do_cluster=do_instance, do_score=do_instance, do_npcs=do_instance)
+    c = cfg.model.num_part_classes
+
+    @jax.jit
+    def step(state: TrainState, batch: PointCloudBatch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False, **flags,
+        )
+        labels = batch.sem_labels
+        valid = batch.point_mask & (labels >= 0)
+        fused = jnp.clip(labels, 0, c - 1) * c + jnp.clip(out.sem_preds, 0, c - 1)
+        conf = segment_sum(
+            jnp.ones(fused.size, jnp.float32), fused.reshape(-1), c * c,
+            mask=valid.reshape(-1),
+        ).reshape(c, c)
+        res = dict(all_accu=out.all_accu, pixel_accu=out.pixel_accu, conf=conf)
+        if do_instance:
+            prop = out.proposals
+            n = batch.point_mask.shape[1]
+            keep = select_eval_proposals(out, cfg.model, cfg.model.max_points)
+            # predicted class per proposal = sem pred at its lowest-index
+            # point (reference model.py:825)
+            rep_point = jax.vmap(
+                lambda ep, pid, m: segment_min(
+                    jnp.where(m, ep, n), pid.clip(0), cfg.model.max_proposals,
+                    mask=m,
+                )
+            )(prop.entry_point, prop.entry_proposal, prop.entry_mask)
+            rep_cls = jnp.take_along_axis(
+                out.sem_preds, jnp.clip(rep_point, 0, n - 1), axis=1
+            )
+            res.update(
+                keep=keep, rep_cls=rep_cls, scores=out.score_preds,
+                ious=out.ious,
+            )
+        return res
+
+    return step
+
+
+def _records_from_reduced(r) -> tuple:
+    """Host-side flattening of a reduced eval batch for APEvaluator.add
+
+    (same semantics as eval/ap.batch_to_records)."""
+    keep = np.asarray(r["keep"])
+    scores = np.asarray(r["scores"])
+    rep_cls = np.asarray(r["rep_cls"])
+    ious = np.asarray(r["ious"]) if r.get("ious") is not None else None
+    flat_scores, flat_cls, flat_sample, flat_ious = [], [], [], []
+    for bi in range(keep.shape[0]):
+        sel = np.nonzero(keep[bi])[0]
+        flat_scores.append(scores[bi, sel])
+        flat_cls.append(rep_cls[bi, sel])
+        flat_sample.append(np.full(len(sel), bi))
+        if ious is not None:
+            flat_ious.append(ious[bi, sel])
+    return (
+        np.concatenate(flat_scores),
+        np.concatenate(flat_cls),
+        np.concatenate(flat_sample),
+        np.concatenate(flat_ious) if ious is not None else None,
+    )
+
+
 def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
                     logger: MetricLogger, step: int, do_instance: bool,
                     mesh=None):
@@ -412,13 +489,12 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
     averaged across processes — the reference's `sync_dist=True` mean
     (model.py:609-657).
     """
-    flags = dict(do_cluster=do_instance, do_score=do_instance, do_npcs=do_instance)
-    eval_step = make_eval_step(model, **flags)
+    eval_step = make_reduced_eval_step(model, cfg, do_instance)
+    full_step = None  # built lazily, only for visualization batches
     num_classes = cfg.model.num_part_classes
 
     split_stats: Dict[str, Dict[str, float]] = {}
     metrics: Dict[str, float] = {}
-    select_fn = None
     for split in SPLITS:
         ds = datasets[split]
         evaluator = APEvaluator(num_classes)
@@ -428,33 +504,27 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
         for raw in _iter_batches(ds, cfg.data.val_batch_size, drop_last=False,
                                  workers=cfg.data.num_workers):
             batch = _np_batch_to_device(raw, mesh)
-            out = eval_step(state, batch)
-            accu_sum += float(out.all_accu)
-            pix_sum += float(out.pixel_accu)
+            r = eval_step(state, batch)
+            accu_sum += float(r["all_accu"])
+            pix_sum += float(r["pixel_accu"])
             batches += 1
-            preds = np.asarray(out.sem_preds).reshape(-1)
-            labels = np.asarray(batch.sem_labels).reshape(-1)
-            mask = np.asarray(batch.point_mask).reshape(-1) & (labels >= 0)
-            np.add.at(conf, (labels[mask], preds[mask]), 1)
-            if do_instance and out.score_preds is not None and out.ious is not None:
-                if select_fn is None:
-                    select_fn = jax.jit(
-                        lambda o: select_eval_proposals(
-                            o, cfg.model, cfg.model.max_points
-                        )
-                    )
-                keep = select_fn(out)
-                s, c, si, io, isl = batch_to_records(
-                    out, keep, batch.instance_sem_labels
+            conf += np.asarray(r["conf"]).astype(np.int64)
+            if do_instance and r.get("ious") is not None:
+                s, c, si, io = _records_from_reduced(r)
+                evaluator.add(
+                    s, c, si, io, np.asarray(batch.instance_sem_labels)
                 )
-                if io is not None:
-                    evaluator.add(s, c, si, io, isl)
                 if (
                     cfg.trainer.visualize
                     and visualized < cfg.trainer.visualize_sample_num
                 ):
+                    if full_step is None:
+                        full_step = make_eval_step(
+                            model, do_cluster=True, do_score=True, do_npcs=True
+                        )
+                    out = full_step(state, batch)
                     visualized += visualize_samples(
-                        out, keep, batch, cfg, split,
+                        out, r["keep"], batch, cfg, split,
                         cfg.trainer.visualize_sample_num - visualized,
                     )
         if batches == 0:

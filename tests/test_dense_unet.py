@@ -141,3 +141,31 @@ def test_train_forward_equivalent(setup):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(c), rtol=5e-4, atol=5e-5
             )
+
+
+def test_bf16_train_grad_compiles(setup):
+    """value_and_grad through the dense path with bf16 conv compute must not
+
+    hit conv_general_dilated's mixed-dtype AD rejection (regression: the
+    bf16-in/f32-out conv form breaks only under grad, so eval-only tests
+    missed it)."""
+    import dataclasses
+
+    _, model_d, variables, batch = setup
+    cfg = dataclasses.replace(_cfg("dense"), conv_compute_dtype="bfloat16")
+    model = GAPartNet(cfg)
+
+    def loss(params, b):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            b, train=True, do_cluster=True, do_score=True, do_npcs=True,
+            rngs={"proposal_jitter": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"],
+        )
+        return out.total_loss
+
+    val, grads = jax.jit(jax.value_and_grad(loss))(variables["params"], batch)
+    assert np.isfinite(float(val))
+    gn = sum(float(jnp.sum(g.astype(jnp.float32) ** 2))
+             for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gn) and gn > 0

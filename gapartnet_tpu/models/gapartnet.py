@@ -356,6 +356,10 @@ class GAPartNet(nn.Module):
                     impl=cfg.clustering_impl,
                     hash_node_capacity=min(cfg.hash_node_capacity, cfg.max_points)
                     if cfg.hash_node_capacity else 0,
+                    # probe by O(1) table at B1 (fastest single-sample), by
+                    # fused-sort membership at batch (the table's HBM
+                    # tile-fetch per element scales ~24x B1 -> B8)
+                    probe_impl="table" if b == 1 else "sort",
                 )
             )(pt_xyz, stop_offsets, sem_preds, cluster_valid)
 

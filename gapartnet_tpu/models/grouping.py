@@ -68,6 +68,7 @@ def cluster_single(
     max_proposals: int,
     impl: str = "hash",
     hash_node_capacity: int = 0,
+    probe_impl: str = "sort",
 ):
     """One sample; vmap over the batch.  Returns SampleProposals.
 
@@ -96,6 +97,7 @@ def cluster_single(
             ball_query_radius,
             node_capacity=2 * hash_node_capacity if hash_node_capacity else 0,
             set_mask=set_mask,
+            probe_impl=probe_impl,
         )
         # labels are min point indices in the 2N space; components never span
         # sets, so set-2 labels map back by -n (invalid selves included)

@@ -36,8 +36,6 @@ from jax import lax
 CELL_BITS = 7          # 128 cells per axis; extent 128 * r/sqrt(3) covers the
                        # augmented unit-ball clouds for r = 0.04
 LABEL_BITS = 4         # < 16 semantic classes
-MAX_LABELS_PER_CELL = 4  # probe depth in the dense cell table; a 2.3 cm cell
-                         # rarely straddles more than a few part classes
 KEY_SENTINEL = jnp.iinfo(jnp.int32).max
 # dual-set mode: set-2 cells are shifted by SET_STRIDE along x — a >2-cell
 # gap past the 128-cell set-1 region, so the 125 probe offsets (|d|inf <= 2)
@@ -56,7 +54,8 @@ def _pack_node(cell: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=(
-    "reps", "max_iters", "max_degree", "node_capacity", "debug_stage"))
+    "reps", "max_iters", "max_degree", "node_capacity", "debug_stage",
+    "probe_impl"))
 def hash_connected_components(
     pt_xyz: jnp.ndarray,
     sem_labels: jnp.ndarray,
@@ -68,6 +67,7 @@ def hash_connected_components(
     node_capacity: int = 0,
     debug_stage: str = "",
     set_mask: jnp.ndarray = None,
+    probe_impl: str = "sort",
 ):
     """One sample; vmap over the batch.
 
@@ -145,48 +145,78 @@ def hash_connected_components(
     node_label = node_keys & ((1 << LABEL_BITS) - 1)
     node_valid = jnp.arange(m) < num_nodes
 
-    # Dense per-cell first-node table for O(1) neighbor-node lookup: nodes
-    # are sorted by (cell, label) key, so each cell's nodes are contiguous.
-    # cell_start stays RANK-1 (a 2-D (num_cells, 4) packed table was tried —
-    # its trailing dim of 4 tile-pads to 128 lanes on TPU, s32[B, 4243456, 4]
-    # tiles to 17 GB at B8 and OOMs HBM); candidate node keys come from a
-    # small (M, 4) rolling-window table via ONE row gather per (offset, node).
-    num_cells = CELL_X_EXTENT * c * c
-    first_in_cell = jnp.concatenate(
-        [jnp.ones((1,), bool), node_cell_key[1:] != node_cell_key[:-1]]
-    ) & node_valid
-    cell_start = jnp.full((num_cells,), -1, jnp.int32).at[
-        jnp.where(first_in_cell, node_cell_key, num_cells)
-    ].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
-
-    # 125 neighbor-cell offsets
+    # Neighbor-node lookup, two implementations (probe_impl):
+    #
+    # "sort": sorted key membership — nodes are unique (cell, label) keys in
+    #   ascending order, so a probe is one searchsorted + equality check and
+    #   the insertion rank IS the node id.  One fused sort of keys+queries;
+    #   TPU sorts scale linearly in batch.  Best at batch (B8: 270 ms vs
+    #   557 ms table).
+    # "table": O(1) dense cell_start table (rank-1!  a (num_cells, 4)
+    #   packed variant tile-pads 4 -> 128 lanes, 17 GB at B8) + a small
+    #   (M, 4) rolling-window key fetch.  Fastest single-sample (B1: 23 ms
+    #   vs 67 ms sort), but every probe element-gather pulls a fresh HBM
+    #   tile of the 259*128^2-entry table, scaling ~24x from B1 to B8.
+    #
+    # Callers pick per static batch size (models/gapartnet.py).
     rng = jnp.arange(-2, 3)
     offsets = jnp.stack(jnp.meshgrid(rng, rng, rng, indexing="ij"), -1).reshape(-1, 3)
 
     tgt_cell = node_cell[None, :, :] + offsets[:, None, :]          # (125, N, 3)
     bound = jnp.asarray([CELL_X_EXTENT, c, c], jnp.int32)
     tin = jnp.all((tgt_cell >= 0) & (tgt_cell < bound), axis=-1) & node_valid[None, :]
-    tgt_cell_key = (
-        tgt_cell[..., 0] * c + tgt_cell[..., 1]
-    ) * c + tgt_cell[..., 2]
     tgt_key = jnp.where(
         tin, _pack_node(tgt_cell, node_label[None, :]), KEY_SENTINEL - 1
     )
-    start = cell_start[jnp.where(tin, tgt_cell_key, 0)]             # (125, N)
-    # a cell holds at most a handful of distinct labels; fetch the first
-    # MAX_LABELS_PER_CELL contiguous node keys with ONE row gather from the
-    # small rolling-window table (random element gathers are the dominant
-    # cost on TPU)
-    key_windows = jnp.stack(
-        [jnp.roll(node_keys, -j) for j in range(MAX_LABELS_PER_CELL)], axis=-1
-    )  # (N, MAX_LABELS_PER_CELL); row i = node_keys[i : i + 4]
-    windows = key_windows[start.clip(0)]                 # (125, N, 4)
-    hits = (windows == tgt_key[..., None]) & (start >= 0)[..., None] & tin[..., None]
-    found_all = jnp.any(hits, axis=-1)
-    off_in_window = jnp.argmax(hits, axis=-1).astype(jnp.int32)
-    vid_all = jnp.clip(start + off_in_window, 0, m - 1)
+    if probe_impl == "sort":
+        idx = jnp.clip(
+            jnp.searchsorted(
+                node_keys, tgt_key.reshape(-1), method="sort"
+            ).astype(jnp.int32),
+            0, m - 1,
+        ).reshape(125, m)
+        found_all = (node_keys[idx] == tgt_key) & tin
+        vid_all = idx
+    elif probe_impl == "table":
+        window = 4  # a 2.3 cm cell rarely holds > 4 distinct part labels
+        num_cells = CELL_X_EXTENT * c * c
+        first_in_cell = jnp.concatenate(
+            [jnp.ones((1,), bool), node_cell_key[1:] != node_cell_key[:-1]]
+        ) & node_valid
+        cell_start = jnp.full((num_cells,), -1, jnp.int32).at[
+            jnp.where(first_in_cell, node_cell_key, num_cells)
+        ].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+        tgt_cell_key = (
+            tgt_cell[..., 0] * c + tgt_cell[..., 1]
+        ) * c + tgt_cell[..., 2]
+        start = cell_start[jnp.where(tin, tgt_cell_key, 0)]         # (125, N)
+        key_windows = jnp.stack(
+            [jnp.roll(node_keys, -j) for j in range(window)], axis=-1
+        )  # (N, window); row i = node_keys[i : i + window]
+        windows = key_windows[start.clip(0)]             # (125, N, window)
+        hits = (
+            (windows == tgt_key[..., None]) & (start >= 0)[..., None]
+            & tin[..., None]
+        )
+        found_all = jnp.any(hits, axis=-1)
+        off_in_window = jnp.argmax(hits, axis=-1).astype(jnp.int32)
+        vid_all = jnp.clip(start + off_in_window, 0, m - 1)
+    else:
+        raise ValueError(probe_impl)
     if debug_stage == "probe":
         return vid_all, found_all
+
+    # candidate compaction BEFORE the distance check: most of the 125 probe
+    # slots are empty, and the rep-coordinate gather pulls a fresh HBM tile
+    # per (candidate, node) row — so sort each node's candidates ascending
+    # (found first, lowest node rank first: exactly the edges that carry the
+    # minimum in propagation) and distance-check only the first cand_k.
+    # Same cap semantics as max_degree, applied one stage earlier; ~2x fewer
+    # gather rows and 16 scan steps instead of 25.
+    cand_k = max(4, min(64, ((2 * max_degree + 3) // 4) * 4))
+    cand = jnp.sort(jnp.where(found_all, vid_all, m), axis=0)[:cand_k]
+    cfound = cand < m                                     # (cand_k, M)
+    cvid = jnp.where(cfound, cand, 0)
 
     def edge_step(_, args):
         vid, found = args                                 # (G, M), (G, M)
@@ -202,17 +232,17 @@ def hash_connected_components(
         connected = found & jnp.any(pair_ok & (d2 <= r2), axis=(2, 3))
         return None, (jnp.where(connected, vid, -1),)
 
-    # chunk the 125 offsets into groups of 5: fewer sequential loop steps
+    # chunk the offsets into groups of 4: fewer sequential loop steps
     # (latency) while keeping per-step tensors modest
     _, (nbr_g,) = lax.scan(
         edge_step, None,
-        (vid_all.reshape(25, 5, m), found_all.reshape(25, 5, m)),
+        (cvid.reshape(cand_k // 4, 4, m), cfound.reshape(cand_k // 4, 4, m)),
     )
-    nbr_ids = nbr_g.reshape(125, m)
+    nbr_ids = nbr_g.reshape(cand_k, m)
 
     # degree compaction: keep the `max_degree` lowest-rank neighbors per node
-    # (sorting ascending keeps exactly the edges that carry the minimum, and
-    # the per-iteration gather shrinks ~3x; the 125-slot table is mostly -1)
+    # (candidates were rank-sorted above, so connected entries are already
+    # ascending; compact the -1 holes out with one more sort)
     nbr_sorted = jnp.sort(jnp.where(nbr_ids >= 0, nbr_ids, m), axis=0)
     nbr_ids = jnp.where(
         nbr_sorted[:max_degree] < m, nbr_sorted[:max_degree], -1

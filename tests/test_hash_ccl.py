@@ -120,3 +120,26 @@ def test_dual_set_merged_call_matches_two_calls(rng):
     np.testing.assert_array_equal(np.asarray(lab)[:n], np.asarray(lab1))
     np.testing.assert_array_equal(np.asarray(lab)[n:] - n, np.asarray(lab2))
     assert int(ovf) == int(ovf1) + int(ovf2)
+
+
+def test_probe_impls_agree(rng):
+    """The sort-membership and dense-table probes are two lookups of the
+
+    same (cell, label) key set — identical components must come out."""
+    import jax.numpy as jnp
+
+    from gapartnet_tpu.ops.hash_ccl import hash_connected_components
+
+    n = 600
+    xyz = rng.rand(n, 3).astype(np.float32) * 0.5
+    sem = rng.randint(0, 5, n).astype(np.int32)
+    valid = rng.rand(n) > 0.1
+    outs = {}
+    for impl in ("sort", "table"):
+        lab, ovf = hash_connected_components(
+            jnp.asarray(xyz), jnp.asarray(sem), jnp.asarray(valid),
+            0.06, node_capacity=0, probe_impl=impl,
+        )
+        outs[impl] = np.asarray(lab)
+        assert int(ovf) == 0
+    np.testing.assert_array_equal(outs["sort"], outs["table"])

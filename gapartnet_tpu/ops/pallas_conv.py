@@ -123,6 +123,18 @@ def enabled() -> bool:
     big-table gather kernel cannot compile on this toolchain yet.  The kernel
     + tests are kept (they pass in interpret mode) for when Mosaic grows
     multi-vreg dynamic_gather support.
+
+    Status 2026-08-17 (round 2): re-tested on jax 0.9.0 through the remote
+    AOT compile service — still fails for BOTH a single-vreg-sized table
+    (V=512) and the flagship table (V=20000); the service surfaces only
+    "HTTP 500: tpu_compile_helper subprocess exit code 1" and scrubs the
+    Mosaic diagnostic, so the precise pass error cannot be captured in this
+    environment.  Workarounds examined and rejected for now: per-128-lane
+    chunked dynamic_gather (O(V/128) full-table passes), one-hot MXU gather
+    (27x FLOP blowup), scalar-prefetch row DMAs (row-latency-bound, no
+    modeled win over the XLA windowed slice-gather path, which is no longer
+    the e2e bottleneck — see PERF.md round 2).  Revisit when the toolchain
+    surfaces Mosaic errors or gains multi-vreg dynamic_gather.
     """
     import os
 

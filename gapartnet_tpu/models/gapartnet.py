@@ -397,7 +397,14 @@ class GAPartNet(nn.Module):
                 .at[jnp.where(m, cid, nsites)]
                 .set(True, mode="drop")
             )(entry_cell, entry_ok)
-            grid_feats = grid_flat.reshape(b * p_cap, s, s, s, fea)
+            # store the (mostly-zero) dense grid in the conv compute dtype:
+            # the UNets cast to it per conv anyway, and the (B*P, S^3, C)
+            # zero-init + scatter traffic is pure HBM bandwidth
+            gdtype = (
+                jnp.bfloat16 if cfg.conv_compute_dtype == "bfloat16"
+                else grid_flat.dtype
+            )
+            grid_feats = grid_flat.astype(gdtype).reshape(b * p_cap, s, s, s, fea)
             occ = occ_flat.reshape(b * p_cap, s, s, s)
             prop_hier = prop_vfeats = entry_voxel_id = None
             counters["proposal_voxels_dropped"] = jnp.zeros((b,), jnp.int32)

@@ -429,6 +429,10 @@ def make_reduced_eval_step(model, cfg: Config, do_instance: bool):
             mask=valid.reshape(-1),
         ).reshape(c, c)
         res = dict(all_accu=out.all_accu, pixel_accu=out.pixel_accu, conf=conf)
+        for cname in sorted(out.counters or ()):
+            res[f"counters/{cname}"] = jnp.sum(out.counters[cname]).astype(
+                jnp.float32
+            )
         if do_instance:
             prop = out.proposals
             n = batch.point_mask.shape[1]
@@ -500,6 +504,7 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
         evaluator = APEvaluator(num_classes)
         conf = np.zeros((num_classes, num_classes), np.int64)
         accu_sum, pix_sum, batches = 0.0, 0.0, 0
+        counter_sums: Dict[str, float] = {}
         visualized = 0
         for raw in _iter_batches(ds, cfg.data.val_batch_size, drop_last=False,
                                  workers=cfg.data.num_workers):
@@ -509,6 +514,9 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
             pix_sum += float(r["pixel_accu"])
             batches += 1
             conf += np.asarray(r["conf"]).astype(np.int64)
+            for k in r:
+                if k.startswith("counters/"):
+                    counter_sums[k] = counter_sums.get(k, 0.0) + float(r[k])
             if do_instance and r.get("ious") is not None:
                 s, c, si, io = _records_from_reduced(r)
                 evaluator.add(
@@ -550,6 +558,10 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
                 metrics[f"{split}/AP@50_{PART_ID2NAME[ci]}"] = per_class[ci - 1] * 100
         else:
             ap50, mAP = 0.0, 0.0
+        # capacity-overflow counters: nonzero means a fixed-shape capacity
+        # clipped real eval data and AP may be silently depressed
+        for k, v in counter_sums.items():
+            metrics[f"{split}/{k}"] = v
         metrics[f"{split}/AP@50"] = ap50 * 100
         metrics[f"{split}/mAP"] = mAP * 100
         metrics[f"{split}/all_accu"] = all_accu * 100

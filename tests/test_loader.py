@@ -86,3 +86,29 @@ def test_shard_files():
     assert s1 == ["f1", "f5", "f9"]
     all_shards = sum((shard_files(paths, i, 4) for i in range(4)), [])
     assert sorted(all_shards) == paths
+
+
+def test_parallel_loading_deterministic(pth_dir):
+    """Worker-parallel batch loading must produce the identical stream as
+
+    serial loading (augmentation rng is per-(seed, epoch, idx), so thread
+    scheduling cannot perturb it)."""
+    from gapartnet_tpu.data.loader import GAPartNetDataset
+    from gapartnet_tpu.train.trainer import _iter_batches
+
+    ds = GAPartNetDataset(
+        pth_dir, max_points=200, max_instances=8, augmentation=True,
+        pos_jitter=0.1, color_jitter=0.3, flip_prob=0.5, rotate_prob=0.5,
+    )
+    serial = list(_iter_batches(ds, 2, drop_last=False, shuffle_seed=5,
+                                workers=0))
+    parallel = list(_iter_batches(ds, 2, drop_last=False, shuffle_seed=5,
+                                  workers=4))
+    assert len(serial) == len(parallel)
+    for a, b in zip(serial, parallel):
+        assert set(a) == set(b)
+        for k in a:
+            if isinstance(a[k], np.ndarray):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+            else:
+                assert a[k] == b[k], k

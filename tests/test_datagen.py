@@ -140,3 +140,36 @@ def test_convert_end_to_end(rng, tmp_path):
     assert set(np.unique(gt)) == {-100, 3000}
     meta = np.loadtxt(tmp_path / "meta" / "Box_0_0_0.txt", delimiter=",")
     assert meta.shape == (4,)
+
+
+def test_visualize_render_3d_headless(rng, tmp_path):
+    """view_3d without open3d must export valid PLY files (point cloud +
+
+    bbox edge line sets) whose geometry round-trips the projection."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import visualize_render as vr
+
+    h, w = 32, 40
+    depth = np.zeros((h, w), np.float32)
+    depth[8:24, 10:30] = 1.5
+    K = np.array([[50.0, 0, w / 2], [0, 50.0, h / 2], [0, 0, 1]])
+    # simple world frame: camera rotated identity, translated
+    w2c = np.eye(3)
+    t = np.array([0.1, -0.2, 0.3])
+    bboxes = {"link_0": {"bbox": (rng.rand(8, 3) * 0.5).tolist()}}
+
+    mode = vr.view_3d(tmp_path, "t0", depth, K, w2c, t, bboxes, rgb=None)
+    assert mode == "ply"  # open3d absent in this image
+    pc = (tmp_path / "t0_pc_world.ply").read_text().splitlines()
+    n_vertex = int([l for l in pc if l.startswith("element vertex")][0].split()[-1])
+    assert n_vertex == int((depth > 0).sum())
+    # first vertex round-trips backproject: pixel (10, 8) at depth 1.5
+    x0 = (10 - K[0, 2]) * 1.5 / K[0, 0] + t[0]
+    first = [float(v) for v in pc[pc.index("end_header") + 1].split()]
+    np.testing.assert_allclose(first[0], x0, atol=1e-4)
+    bb = (tmp_path / "t0_bboxes.ply").read_text()
+    assert "element edge 12" in bb

@@ -70,10 +70,12 @@ class GAPartNetConfig:
     # (reference first-K semantics; O(N^2), for parity testing)
     clustering_impl: str = "hash"
     # (cell, label) node-table capacity PER SET for the hash clustering
-    # (0 = N).  Real clouds occupy 1-5k nodes (probe/edge/propagation costs
-    # all scale with it); overflow is counted in counters/ccl_node_overflow,
-    # so a tight cap fails loudly, not silently.
-    hash_node_capacity: int = 4096
+    # (0 = N).  Measured clouds at the reference envelope occupy ~0.8-1.5k
+    # nodes/set (probe/edge/propagation costs all scale with it); overflow
+    # is counted in counters/ccl_node_overflow and asserted zero under
+    # GAPARTNET_CHECKS, so a tight cap fails loudly, not silently — raise it
+    # here if real data ever trips the counter.
+    hash_node_capacity: int = 2048
     # conv gather/matmul precision: "float32" or "bfloat16" (f32 accumulate)
     conv_compute_dtype: str = "float32"
     # rematerialize backbone ResBlocks in backward (larger train batches)

@@ -104,11 +104,14 @@ class GAPartNetConfig:
     # per-UNet-level voxel capacity schedule (fractions of the input capacity)
     level_capacity_divisors: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
     proposal_level_divisors: Tuple[int, ...] = (1, 2)
-    # voxel capacity of the proposal (ScoreNet/NPCS) grid.  Entries are 2N
-    # (every valid point appears once per cluster set) but distinct proposal
-    # voxels are far fewer after the min-points filter; 0 means "use
-    # max_points" (overflow drops the highest keys, tracked per step).
-    proposal_voxel_capacity: int = 0
+    # voxel capacity of the proposal (ScoreNet/NPCS) grid on the sparse
+    # (train) path.  Entries are 2N (every valid point appears once per
+    # cluster set) but distinct proposal voxels are far fewer after dedup +
+    # the min-points filter — measured 3.4-4.5k at the reference envelope
+    # with 45-84 live proposals.  Overflow drops the highest keys and is
+    # counted in counters/proposal_voxels_dropped (asserted zero under
+    # GAPARTNET_CHECKS).  0 means "use max_points".
+    proposal_voxel_capacity: int = 8192
 
     def input_capacities(self) -> Tuple[int, ...]:
         return tuple(
@@ -116,7 +119,13 @@ class GAPartNetConfig:
         )
 
     def proposal_capacities(self) -> Tuple[int, ...]:
-        v0 = self.proposal_voxel_capacity or self.max_points
+        # clamped to the 2N entry count (each valid point appears once per
+        # cluster set): voxels cannot outnumber entries, and small test
+        # configs must not inflate to the flagship default
+        v0 = min(
+            self.proposal_voxel_capacity or self.max_points,
+            2 * self.max_points,
+        )
         return tuple(max(v0 // d, 64) for d in self.proposal_level_divisors)
 
 

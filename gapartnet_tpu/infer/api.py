@@ -300,6 +300,7 @@ class GAPartNetInference:
             num_proposals=jnp.asarray([m], jnp.int32),
             num_dropped=jnp.asarray([max(masks.shape[0] - m, 0)], jnp.int32),
             ccl_overflow=jnp.zeros((1,), jnp.int32),
+            ccl_cand_truncated=jnp.zeros((1,), jnp.int32),
         )
         batch = self._wrap_points(points)
         out = jax.jit(

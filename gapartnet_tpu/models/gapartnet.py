@@ -494,6 +494,7 @@ class GAPartNet(nn.Module):
 
         counters["dropped_proposals"] = prop.num_dropped
         counters["ccl_node_overflow"] = prop.ccl_overflow
+        counters["ccl_cand_truncated"] = prop.ccl_cand_truncated
         for cname, cval in counters.items():
             inv.check_traced(
                 jnp.all(cval == 0), "capacity overflow in " + cname

@@ -54,6 +54,7 @@ class SampleProposals(NamedTuple):
     # overflow counters (silent-capacity diagnostics; zero in healthy runs)
     num_dropped: jnp.ndarray     # () int32 proposals beyond max_proposals
     ccl_overflow: jnp.ndarray    # () int32 hash-CCL node-table overflow
+    ccl_cand_truncated: jnp.ndarray  # () int32 hash-CCL candidate-cap drops
 
 
 def cluster_single(
@@ -90,7 +91,7 @@ def cluster_single(
         # table scatter/gather layouts; concatenation keeps layouts flat.)
         both = jnp.concatenate([pt_xyz, pt_xyz + offsets])
         set_mask = jnp.arange(2 * n) >= n
-        lab, ccl_overflow = hash_connected_components(
+        lab, ccl_overflow, ccl_cand_truncated = hash_connected_components(
             both,
             jnp.concatenate([sem_preds, sem_preds]),
             jnp.concatenate([valid, valid]),
@@ -113,6 +114,7 @@ def cluster_single(
         )
         lab2 = connected_components_single(nbr2, valid)
         ccl_overflow = jnp.zeros((), jnp.int32)
+        ccl_cand_truncated = jnp.zeros((), jnp.int32)
 
     # entries: set-1 clusters keyed by [0, N), set-2 by [N, 2N).  Labels are
     # min-point-index keys, so compact proposal ids come from a scatter +
@@ -153,6 +155,7 @@ def cluster_single(
         num_proposals=num_proposals,
         num_dropped=num_kept - num_proposals,
         ccl_overflow=ccl_overflow,
+        ccl_cand_truncated=ccl_cand_truncated,
     )
 
 

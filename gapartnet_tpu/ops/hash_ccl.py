@@ -71,10 +71,13 @@ def hash_connected_components(
 ):
     """One sample; vmap over the batch.
 
-    Returns (labels (N,) int32, node_overflow () int32): labels are the
-    minimum point index of each connected component (invalid points label
-    themselves); node_overflow counts (cell, label) nodes beyond
-    node_capacity whose points were isolated into singletons.
+    Returns (labels (N,) int32, node_overflow () int32, cand_truncated ()
+    int32): labels are the minimum point index of each connected component
+    (invalid points label themselves); node_overflow counts (cell, label)
+    nodes beyond node_capacity whose points were isolated into singletons;
+    cand_truncated counts nodes whose 5^3-neighborhood probe found more than
+    cand_k same-label candidate nodes, so edges beyond the cap were dropped
+    before the distance check (debug_stage paths return it as 0).
 
     node_capacity caps the (cell, label) node table (0 = N).  Real clouds
     occupy a few thousand nodes; a tight cap (e.g. N//2) shrinks every
@@ -214,6 +217,10 @@ def hash_connected_components(
     # Same cap semantics as max_degree, applied one stage earlier; ~2x fewer
     # gather rows and 16 scan steps instead of 25.
     cand_k = max(4, min(64, ((2 * max_degree + 3) // 4) * 4))
+    # nodes with more found candidates than the cap silently lose edges the
+    # distance check never sees — count them (ADVICE r2: the only capacity
+    # without an overflow counter)
+    cand_truncated = jnp.sum(found_all.sum(axis=0) > cand_k).astype(jnp.int32)
     cand = jnp.sort(jnp.where(found_all, vid_all, m), axis=0)[:cand_k]
     cfound = cand < m                                     # (cand_k, M)
     cvid = jnp.where(cfound, cand, 0)
@@ -287,4 +294,4 @@ def hash_connected_components(
         jnp.arange(n, dtype=jnp.int32),
     )
     node_overflow = (first.sum() - num_nodes).astype(jnp.int32)
-    return out, node_overflow
+    return out, node_overflow, cand_truncated

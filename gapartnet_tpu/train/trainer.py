@@ -481,6 +481,54 @@ def _records_from_reduced(r) -> tuple:
     )
 
 
+def _expected_eval_keys(eval_step, state, cfg: Config, do_instance: bool):
+    """Deterministic global metric key set for the cross-process mean.
+
+    jax.eval_shape (abstract trace, no compile or execution) discovers the
+    reduced eval step's counter keys so every process agrees on the gather
+    vector layout regardless of which of its file shards were empty.
+    """
+    b = max(cfg.data.val_batch_size, 1)
+    n = cfg.model.max_points
+    mi = cfg.model.max_instances
+
+    def f32(*s):
+        return jax.ShapeDtypeStruct(s, jnp.float32)
+
+    def i32(*s):
+        return jax.ShapeDtypeStruct(s, jnp.int32)
+
+    dummy = PointCloudBatch(
+        points=f32(b, n, cfg.model.in_channels),
+        point_mask=jax.ShapeDtypeStruct((b, n), jnp.bool_),
+        sem_labels=i32(b, n),
+        instance_labels=i32(b, n),
+        gt_npcs=f32(b, n, 3),
+        instance_regions=f32(b, n, 9),
+        num_points_per_instance=i32(b, mi),
+        instance_sem_labels=i32(b, mi),
+        num_instances=i32(b),
+    )
+    out = jax.eval_shape(eval_step, state, dummy)
+    counter_keys = sorted(k for k in out if k.startswith("counters/"))
+
+    per_split = ["AP@50", "mAP", "all_accu", "pixel_accu", "miou"]
+    if do_instance:
+        per_split += [
+            f"AP@50_{PART_ID2NAME[ci]}"
+            for ci in range(1, cfg.model.num_part_classes)
+        ]
+    keys = []
+    for split in SPLITS:
+        keys += [f"{split}/{m}" for m in per_split]
+        keys += [f"{split}/{c}" for c in counter_keys]
+    keys += [
+        f"monitor_metrics/mean_{m}"
+        for m in ("all_accu", "pixel_accu", "imou", "AP@50", "mAP")
+    ]
+    return keys
+
+
 def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
                     logger: MetricLogger, step: int, do_instance: bool,
                     mesh=None):
@@ -559,9 +607,15 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
         else:
             ap50, mAP = 0.0, 0.0
         # capacity-overflow counters: nonzero means a fixed-shape capacity
-        # clipped real eval data and AP may be silently depressed
+        # clipped real eval data and AP may be silently depressed — warn
+        # loudly instead of relying on metric-stream readers
         for k, v in counter_sums.items():
             metrics[f"{split}/{k}"] = v
+            if v > 0:
+                print(
+                    f"[gapartnet_tpu] WARNING {split}/{k} = {v:.0f}: a "
+                    "fixed-shape capacity clipped real data this eval"
+                )
         metrics[f"{split}/AP@50"] = ap50 * 100
         metrics[f"{split}/mAP"] = mAP * 100
         metrics[f"{split}/all_accu"] = all_accu * 100
@@ -583,15 +637,24 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
         metrics["monitor_metrics/mean_AP@50"] = (intra["ap50"] + inter["ap50"]) / 2 * 100
         metrics["monitor_metrics/mean_mAP"] = (intra["mAP"] + inter["mAP"]) / 2 * 100
 
-    if jax.process_count() > 1 and metrics:
+    if jax.process_count() > 1:
         # cross-process metric mean (reference sync_dist=True): every process
-        # evaluated its own file shard (build_datasets), average the scalars
+        # evaluated its own file shard (build_datasets), average the scalars.
+        # The key set is built deterministically from (cfg, do_instance) — NOT
+        # from the locally observed metrics — so processes whose file shard
+        # left some split empty (few-shot val smaller than process_count)
+        # still enter the collective with an identically-shaped vector;
+        # locally missing entries ride as NaN and drop out of the nanmean.
         from jax.experimental import multihost_utils
 
-        keys = sorted(metrics)
-        vec = np.asarray([metrics[k] for k in keys], np.float32)
+        keys = _expected_eval_keys(eval_step, state, cfg, do_instance)
+        vec = np.asarray([metrics.get(k, np.nan) for k in keys], np.float32)
         gathered = np.asarray(multihost_utils.process_allgather(vec))
-        metrics = dict(zip(keys, gathered.mean(axis=0).tolist()))
+        with np.errstate(invalid="ignore"):
+            means = np.nanmean(gathered, axis=0)
+        metrics = {
+            k: float(v) for k, v in zip(keys, means) if not np.isnan(v)
+        }
 
     logger.log(metrics, step)
     return metrics.get("monitor_metrics/mean_mAP", 0.0), metrics
@@ -661,12 +724,27 @@ def fit(cfg: Config):
             }
             mean["epoch"] = epoch
             mean["epoch_time_s"] = time.time() - t0
+            for k, v in mean.items():
+                if "counters/" in k and v > 0:
+                    print(
+                        f"[gapartnet_tpu] WARNING {k} = {v:.1f}/step: a "
+                        "fixed-shape capacity clipped real data this epoch"
+                    )
             logger.log(mean, gstep)
 
         if (epoch + 1) % cfg.trainer.val_every_n_epochs == 0:
+            # eval batches shard over the mesh only when val_batch_size is
+            # itself divisible (fit() gates the mesh on train_batch_size;
+            # test() already applies this guard)
+            eval_mesh = (
+                mesh
+                if mesh is not None
+                and cfg.data.val_batch_size % _jax.device_count() == 0
+                else None
+            )
             monitor, _ = evaluate_splits(
                 model, state, cfg, datasets, epoch, logger, gstep,
-                do_instance=flags["do_score"], mesh=mesh,
+                do_instance=flags["do_score"], mesh=eval_mesh,
             )
             ckpts.save(state, epoch, monitor)
     return state

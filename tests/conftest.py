@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: whole-model slow tests recompile the same graphs
+# every session otherwise (18+ min on this 1-core box); bench.py and
+# __graft_entry__.py already share this directory.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

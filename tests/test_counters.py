@@ -45,7 +45,7 @@ def test_ccl_node_overflow_counter():
     # spacing 0.02 >> radius 0.01: 32 isolated points in 32 distinct cells,
     # all inside the 128-cell grid (128 * 0.01/sqrt(3) = 0.74 > 0.62 span)
     xyz = _line_cloud(n) * 0.02
-    labels, ovf = hash_connected_components(
+    labels, ovf, _ = hash_connected_components(
         xyz, jnp.ones(n, jnp.int32), jnp.ones(n, bool), 0.01,
         node_capacity=8,
     )

@@ -102,15 +102,15 @@ def test_dual_set_merged_call_matches_two_calls(rng):
     valid = sem > 0
     r = 0.04
 
-    lab1, ovf1 = hash_connected_components(
+    lab1, ovf1, _ = hash_connected_components(
         jnp.asarray(xyz), jnp.asarray(sem), jnp.asarray(valid), r
     )
-    lab2, ovf2 = hash_connected_components(
+    lab2, ovf2, _ = hash_connected_components(
         jnp.asarray(xyz + offsets), jnp.asarray(sem), jnp.asarray(valid), r
     )
 
     both = jnp.concatenate([jnp.asarray(xyz), jnp.asarray(xyz + offsets)])
-    lab, ovf = hash_connected_components(
+    lab, ovf, _ = hash_connected_components(
         both,
         jnp.concatenate([jnp.asarray(sem)] * 2),
         jnp.concatenate([jnp.asarray(valid)] * 2),
@@ -136,7 +136,7 @@ def test_probe_impls_agree(rng):
     valid = rng.rand(n) > 0.1
     outs = {}
     for impl in ("sort", "table"):
-        lab, ovf = hash_connected_components(
+        lab, ovf, _ = hash_connected_components(
             jnp.asarray(xyz), jnp.asarray(sem), jnp.asarray(valid),
             0.06, node_capacity=0, probe_impl=impl,
         )

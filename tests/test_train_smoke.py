@@ -208,3 +208,41 @@ def test_sharded_eval_matches_single_device(config_file, tmp_path, monkeypatch):
     for k in single:
         np.testing.assert_allclose(single[k], sharded[k], rtol=1e-4, atol=1e-3,
                                    err_msg=k)
+
+
+def test_expected_eval_keys_cover_observed(config_file, tmp_path, monkeypatch):
+    """The deterministic cross-process key set (multi-host metric mean) must
+
+    cover every metric evaluate_splits can emit, for both do_instance modes,
+    so differing per-process shard contents can never misalign the
+    process_allgather vector (ADVICE r2 medium)."""
+    import dataclasses
+
+    from gapartnet_tpu.models.gapartnet import GAPartNet
+    from gapartnet_tpu.train import trainer
+    from gapartnet_tpu.train.config import load_config
+    from gapartnet_tpu.train.loop import adam, create_train_state
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(str(config_file))
+    cfg.model = dataclasses.replace(
+        cfg.model, level_capacity_divisors=(1, 2), ball_query_radius=0.1
+    )
+    model = GAPartNet(cfg.model)
+    datasets = trainer.build_datasets(cfg, "test")
+    example = trainer._np_batch_to_device(
+        next(trainer._iter_batches(datasets["val"], cfg.data.val_batch_size, False))
+    )
+    state = create_train_state(model, example, adam(1e-3), seed=0)
+    logger = trainer.MetricLogger(str(tmp_path / "m.jsonl"))
+
+    for do_instance in (False, True):
+        eval_step = trainer.make_reduced_eval_step(model, cfg, do_instance)
+        expected = trainer._expected_eval_keys(eval_step, state, cfg, do_instance)
+        assert len(expected) == len(set(expected))
+        _, metrics = trainer.evaluate_splits(
+            model, state, cfg, datasets, 0, logger, 0,
+            do_instance=do_instance, mesh=None,
+        )
+        missing = set(metrics) - set(expected)
+        assert not missing, missing

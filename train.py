@@ -13,19 +13,7 @@ gapartnet_tpu/train/config.py).
 
 import sys
 
-
-def main(argv):
-    from gapartnet_tpu.train.config import load_config, parse_cli
-    from gapartnet_tpu.train import trainer
-
-    sub, cfg_path, overrides = parse_cli(argv)
-    cfg = load_config(cfg_path, overrides)
-    print(f"[gapartnet_tpu] {sub} with model={cfg.model}")
-    if sub == "fit":
-        trainer.fit(cfg)
-    else:
-        trainer.test(cfg)
-
+from gapartnet_tpu.train.cli import main
 
 if __name__ == "__main__":
     main(sys.argv[1:])

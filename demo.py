@@ -1,19 +1,23 @@
 #!/usr/bin/env python
 """End-to-end demo (the reference demo.ipynb flow, cells 0-4):
 
-render-or-load an example RGB-D observation -> back-project -> FPS downsample
+render-or-load an example observation -> back-project -> FPS downsample
 -> ball normalize -> GAPartNet inference -> part bboxes -> multi-panel
-visualization.  Without real data it falls back to a synthetic articulated
-object so the demo runs anywhere.
+visualization.  By default it renders a REAL articulated object from the
+reference's example assets (SAPIEN-free point-splat renderer,
+gapartnet_tpu/datagen/assets.py) when that directory exists, and falls back
+to a synthetic articulated object otherwise, so the demo runs anywhere.
 
-    python demo.py [--ckpt CKPT] [--depth depth.npy --rgb rgb.png --K K.npy]
-                   [--out demo_out]
+    python demo.py [--ckpt CKPT] [--asset ASSET_DIR | --points cloud.npz |
+                   --depth depth.npy --rgb rgb.png --K K.npy] [--out demo_out]
 """
 
 import argparse
 import os
 
 import numpy as np
+
+DEFAULT_ASSET = "/root/reference/example_assets/45780"
 
 
 def main():
@@ -24,6 +28,12 @@ def main():
     ap.add_argument("--K", default="", help="3x3 intrinsic .npy")
     ap.add_argument("--out", default="demo_out")
     ap.add_argument("--points", default="", help=".pth/.npz cloud instead of RGB-D")
+    ap.add_argument(
+        "--asset", default="",
+        help="raw asset dir (URDF + meshes) to render a view of; defaults to "
+        f"{DEFAULT_ASSET} when present",
+    )
+    ap.add_argument("--seed", type=int, default=3)
     args = ap.parse_args()
 
     from gapartnet_tpu.infer.api import GAPartNetInference
@@ -55,6 +65,28 @@ def main():
         d = load_cloud_file(args.points)
         pts = d["points"][: cfg.max_points]
         result = infer.predict(pts)
+    elif args.asset or os.path.isdir(DEFAULT_ASSET):
+        # REAL articulated geometry: render one view of a raw reference asset
+        # (URDF + OBJ meshes) with the SAPIEN-free point-splat renderer, then
+        # run the same RGB-D inference path a real camera would feed
+        # (reference demo.ipynb cells 0-4).
+        asset = args.asset or DEFAULT_ASSET
+        print(f"[demo] rendering a view of real asset {asset}")
+        from gapartnet_tpu.datagen.assets import render_view_maps
+
+        maps = render_view_maps(asset, seed=args.seed)
+        bgr = maps["rgb"][..., ::-1]  # the RGB-D API expects cv2 BGR images
+        result, idx, trans = infer.predict_depth(maps["depth"], maps["K"], bgr)
+        from gapartnet_tpu.infer.api import backproject_depth, ball_space_normalize
+
+        xyz, colors, pix = backproject_depth(maps["depth"], maps["K"], bgr)
+        pts = np.concatenate(
+            [ball_space_normalize(xyz[idx])[0], colors[idx]], axis=1
+        )
+        gt_sem = maps["sem"][pix[idx, 0], pix[idx, 1]]
+        agree = (result.sem_preds == np.clip(gt_sem + 1, 0, None)).mean()
+        print(f"[demo] sem agreement vs render labels: {agree:.3f} "
+              "(untrained weights ~ chance unless --ckpt given)")
     else:
         print("[demo] no input given; using a synthetic articulated object")
         from gapartnet_tpu.data.synthetic import synthetic_cloud

@@ -554,37 +554,43 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
         accu_sum, pix_sum, batches = 0.0, 0.0, 0
         counter_sums: Dict[str, float] = {}
         visualized = 0
+        # dispatch every batch, queue the (small, reduced) device results,
+        # fetch ONCE per split: each per-batch float()/asarray() here used to
+        # cost a full device->host round trip (~150 ms through the remote
+        # tunnel), making batched eval round-trip-bound
+        pending = []
         for raw in _iter_batches(ds, cfg.data.val_batch_size, drop_last=False,
                                  workers=cfg.data.num_workers):
             batch = _np_batch_to_device(raw, mesh)
             r = eval_step(state, batch)
+            pending.append((r, batch.instance_sem_labels))
+            batches += 1
+            if (
+                do_instance
+                and cfg.trainer.visualize
+                and visualized < cfg.trainer.visualize_sample_num
+            ):
+                if full_step is None:
+                    full_step = make_eval_step(
+                        model, do_cluster=True, do_score=True, do_npcs=True
+                    )
+                out = full_step(state, batch)
+                visualized += visualize_samples(
+                    out, r["keep"], batch, cfg, split,
+                    cfg.trainer.visualize_sample_num - visualized,
+                )
+        if batches == 0:
+            continue
+        for r, inst_sem_labels in jax.device_get(pending):
             accu_sum += float(r["all_accu"])
             pix_sum += float(r["pixel_accu"])
-            batches += 1
             conf += np.asarray(r["conf"]).astype(np.int64)
             for k in r:
                 if k.startswith("counters/"):
                     counter_sums[k] = counter_sums.get(k, 0.0) + float(r[k])
             if do_instance and r.get("ious") is not None:
                 s, c, si, io = _records_from_reduced(r)
-                evaluator.add(
-                    s, c, si, io, np.asarray(batch.instance_sem_labels)
-                )
-                if (
-                    cfg.trainer.visualize
-                    and visualized < cfg.trainer.visualize_sample_num
-                ):
-                    if full_step is None:
-                        full_step = make_eval_step(
-                            model, do_cluster=True, do_score=True, do_npcs=True
-                        )
-                    out = full_step(state, batch)
-                    visualized += visualize_samples(
-                        out, r["keep"], batch, cfg, split,
-                        cfg.trainer.visualize_sample_num - visualized,
-                    )
-        if batches == 0:
-            continue
+                evaluator.add(s, c, si, io, np.asarray(inst_sem_labels))
         all_accu = accu_sum / batches
         pixel_accu = pix_sum / batches
         # THE mIoU definition (one definition, used everywhere): a single

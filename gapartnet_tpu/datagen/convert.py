@@ -58,16 +58,26 @@ def world_space_to_ball_space(pointcloud: np.ndarray):
 
 
 def fps_indices(points: np.ndarray, num_points: int) -> Optional[np.ndarray]:
-    """FPS via the TPU op (replaces pointnet_lib CUDA FPS, sample_utils.py:27-46)."""
-    if points.shape[0] < num_points:
+    """FPS via the TPU op (replaces pointnet_lib CUDA FPS, sample_utils.py:27-46).
+
+    Inputs are padded up to a power-of-two bucket (masked invalid) so batch
+    renders with varying foreground pixel counts share one compiled graph
+    instead of recompiling per view.
+    """
+    n = points.shape[0]
+    if n < num_points:
         return None
     import jax.numpy as jnp
 
     from gapartnet_tpu.ops.fps import furthest_point_sampling_single
 
+    bucket = max(1 << (n - 1).bit_length(), 1024)
+    pts = np.zeros((bucket, 3), np.float32)
+    pts[:n] = points[:, :3]
+    valid = np.arange(bucket) < n
     return np.asarray(
         furthest_point_sampling_single(
-            jnp.asarray(points, jnp.float32), num_points
+            jnp.asarray(pts), num_points, valid=jnp.asarray(valid)
         )
     )
 

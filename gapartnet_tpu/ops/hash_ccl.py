@@ -10,13 +10,16 @@ spatial hash — re-thought for TPU:
     pair collapses into ONE graph node whose points form a clique.
   * nodes are deduplicated packed keys (7-bit cell coords + 4-bit label); each
     node keeps its first `reps` member points ("representatives").
-  * edges: for each of the 125 neighbor-cell offsets (|d|inf <= 2 covers every
-    pair of cells whose points can be within radius), nodes with the same
-    label are connected iff any representative pair lies within radius — a
-    (N, reps, reps) distance check per offset inside a lax.scan.
+  * edges: the 5^3 neighborhood (|d|inf <= 2 covers every pair of cells whose
+    points can be within radius) is probed HALF-sided — only the 62
+    lexicographically-positive offsets, since the edge relation is symmetric
+    and positive offsets strictly increase the x-major packed key.  Nodes
+    with the same label are connected iff any representative pair lies
+    within radius — a (N, reps, reps) distance check per offset chunk inside
+    a lax.scan.  The reverse direction is restored afterwards by one
+    edge-list sort (transpose adjacency), halving probe + distance work.
   * CCL: pull-only min-label propagation with pointer jumping over the
-    (125, N) neighbor table — the rep-based edge relation is symmetric, so no
-    scatter push is needed.
+    concatenated forward+reverse neighbor table.
 
 Deviations from the reference semantics (documented): the reference caps each
 point's neighbor list at K (50/300) in scan order; here density is capped by
@@ -55,7 +58,7 @@ def _pack_node(cell: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=(
     "reps", "max_iters", "max_degree", "node_capacity", "debug_stage",
-    "probe_impl"))
+    "probe_impl", "cand_cap"))
 def hash_connected_components(
     pt_xyz: jnp.ndarray,
     sem_labels: jnp.ndarray,
@@ -63,11 +66,12 @@ def hash_connected_components(
     radius: float,
     reps: int = 8,
     max_iters: int = 32,
-    max_degree: int = 48,
+    max_degree: int = 24,
     node_capacity: int = 0,
     debug_stage: str = "",
     set_mask: jnp.ndarray = None,
     probe_impl: str = "sort",
+    cand_cap: int = 0,
 ):
     """One sample; vmap over the batch.
 
@@ -162,10 +166,28 @@ def hash_connected_components(
     #   tile of the 259*128^2-entry table, scaling ~24x from B1 to B8.
     #
     # Callers pick per static batch size (models/gapartnet.py).
-    rng = jnp.arange(-2, 3)
-    offsets = jnp.stack(jnp.meshgrid(rng, rng, rng, indexing="ij"), -1).reshape(-1, 3)
+    #
+    # HALF-NEIGHBORHOOD probing (round 3): the edge relation is symmetric, so
+    # each unordered cell pair needs probing from only ONE side.  Keep the 62
+    # lexicographically-POSITIVE offsets of the 5^3 neighborhood (positive
+    # offsets strictly increase the x-major packed cell key, so every forward
+    # hit points to a HIGHER node id); the reverse direction is restored
+    # after the distance check by one grouping sort (cheaper than probing:
+    # halves the probe searchsorted, the candidate sort, and the rep-distance
+    # gathers).
+    import numpy as _np
 
-    tgt_cell = node_cell[None, :, :] + offsets[:, None, :]          # (125, N, 3)
+    offs = [
+        (dx, dy, dz)
+        for dx in range(-2, 3)
+        for dy in range(-2, 3)
+        for dz in range(-2, 3)
+        if (dx, dy, dz) > (0, 0, 0)
+    ]
+    offsets = jnp.asarray(_np.asarray(offs, _np.int32))            # (62, 3)
+    noff = offsets.shape[0]
+
+    tgt_cell = node_cell[None, :, :] + offsets[:, None, :]         # (62, N, 3)
     bound = jnp.asarray([CELL_X_EXTENT, c, c], jnp.int32)
     tin = jnp.all((tgt_cell >= 0) & (tgt_cell < bound), axis=-1) & node_valid[None, :]
     tgt_key = jnp.where(
@@ -177,7 +199,7 @@ def hash_connected_components(
                 node_keys, tgt_key.reshape(-1), method="sort"
             ).astype(jnp.int32),
             0, m - 1,
-        ).reshape(125, m)
+        ).reshape(noff, m)
         found_all = (node_keys[idx] == tgt_key) & tin
         vid_all = idx
     elif probe_impl == "table":
@@ -192,11 +214,11 @@ def hash_connected_components(
         tgt_cell_key = (
             tgt_cell[..., 0] * c + tgt_cell[..., 1]
         ) * c + tgt_cell[..., 2]
-        start = cell_start[jnp.where(tin, tgt_cell_key, 0)]         # (125, N)
+        start = cell_start[jnp.where(tin, tgt_cell_key, 0)]         # (62, N)
         key_windows = jnp.stack(
             [jnp.roll(node_keys, -j) for j in range(window)], axis=-1
         )  # (N, window); row i = node_keys[i : i + window]
-        windows = key_windows[start.clip(0)]             # (125, N, window)
+        windows = key_windows[start.clip(0)]              # (62, N, window)
         hits = (
             (windows == tgt_key[..., None]) & (start >= 0)[..., None]
             & tin[..., None]
@@ -209,14 +231,17 @@ def hash_connected_components(
     if debug_stage == "probe":
         return vid_all, found_all
 
-    # candidate compaction BEFORE the distance check: most of the 125 probe
+    # candidate compaction BEFORE the distance check: most of the 62 probe
     # slots are empty, and the rep-coordinate gather pulls a fresh HBM tile
     # per (candidate, node) row — so sort each node's candidates ascending
     # (found first, lowest node rank first: exactly the edges that carry the
     # minimum in propagation) and distance-check only the first cand_k.
-    # Same cap semantics as max_degree, applied one stage earlier; ~2x fewer
-    # gather rows and 16 scan steps instead of 25.
-    cand_k = max(4, min(64, ((2 * max_degree + 3) // 4) * 4))
+    # Same cap semantics as max_degree, applied one stage earlier.
+    # max_degree caps each DIRECTION since half-neighborhood probing: total
+    # degree <= 2 * max_degree, so the default 24 matches the former
+    # full-neighborhood 48 while keeping the propagation table equally wide.
+    cand_k = cand_cap or max(4, min(32, max_degree))
+    cand_k = ((cand_k + 3) // 4) * 4  # edge scan chunks offsets in fours
     # nodes with more found candidates than the cap silently lose edges the
     # distance check never sees — count them (ADVICE r2: the only capacity
     # without an overflow counter)
@@ -254,6 +279,35 @@ def hash_connected_components(
     nbr_ids = jnp.where(
         nbr_sorted[:max_degree] < m, nbr_sorted[:max_degree], -1
     )  # (max_degree, M)
+
+    # restore the reverse direction (half-neighborhood probing): every
+    # forward edge points to a HIGHER node id, so min-label information
+    # could never flow upward through the pull loop.  Build the transpose
+    # adjacency with one sort of the (max_degree * M) edge list by
+    # destination + a rank-in-group scatter — cheaper than the 63 probe
+    # searchsorteds + rep-distance gathers it replaces.
+    src = jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.int32)[None, :], nbr_ids.shape
+    )
+    flat_dst = jnp.where(nbr_ids >= 0, nbr_ids, m).reshape(-1)
+    eorder = jnp.argsort(flat_dst)
+    sd = flat_dst[eorder]
+    ss = src.reshape(-1)[eorder]
+    e_idx = jnp.arange(sd.shape[0], dtype=jnp.int32)
+    firste = jnp.concatenate([jnp.ones((1,), bool), sd[1:] != sd[:-1]])
+    rank_e = e_idx - lax.cummax(jnp.where(firste, e_idx, 0))
+    rev_real = sd < m
+    rev_kept = rev_real & (rank_e < max_degree)
+    rev_ids = jnp.full((max_degree, m), -1, jnp.int32).at[
+        jnp.where(rev_kept, rank_e, 0),
+        jnp.where(rev_kept, sd, m),
+    ].set(ss, mode="drop")
+    # reverse-degree truncation is a real edge loss like the candidate cap —
+    # fold it into the same counter
+    cand_truncated = cand_truncated + jnp.sum(
+        rev_real & ~rev_kept
+    ).astype(jnp.int32)
+    nbr_ids = jnp.concatenate([nbr_ids, rev_ids], axis=0)  # (2*max_degree, M)
     if debug_stage == "edges":
         return nbr_ids
 

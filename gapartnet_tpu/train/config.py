@@ -50,6 +50,8 @@ class TrainerConfig:
     monitor: str = "monitor_metrics/mean_mAP"
     log_file: str = "metrics.jsonl"
     resume_ckpt: str = ""           # warm-start (reference model.py:132-143)
+    ckpt_path: str = ""             # FULL resume: params+opt_state+rng+epoch
+                                    # (Lightning `fit --ckpt_path` semantics)
     val_every_n_epochs: int = 1
     use_wandb: bool = False
     debug: bool = True
@@ -155,6 +157,7 @@ def config_from_yaml_dict(raw: Dict[str, Any]) -> Config:
     )
     tkw["seed"] = raw.get("seed_everything", 23333)
     tkw["resume_ckpt"] = model_args.get("ckpt", "")
+    tkw["ckpt_path"] = trainer_args.get("ckpt_path", "")
     tkw["debug"] = model_args.get("debug", True)
     vcfg = model_args.get("visualize_cfg", {}) or {}
     if vcfg:

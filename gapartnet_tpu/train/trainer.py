@@ -205,15 +205,27 @@ class CkptManager:
         self._ocp = ocp
         Path(self.ckpt_dir).mkdir(parents=True, exist_ok=True)
 
-    def save(self, state: TrainState, epoch: int, score: float):
+    def save(self, state: TrainState, epoch: int, score: float,
+             rng=None, gstep: int = 0):
         name = f"epoch_{epoch:03d}_mAP_{score:.2f}"
         path = os.path.abspath(os.path.join(self.ckpt_dir, name))
         ckptr = self._ocp.StandardCheckpointer()
-        ckptr.save(path, dict(
+        from flax import serialization as _ser
+
+        payload = dict(
             params=jax.device_get(state.params),
             batch_stats=jax.device_get(state.batch_stats),
+            # full-resume extras (Lightning ckpt_path semantics): optimizer
+            # moments/count as a pure state dict, the epoch-loop RNG, and the
+            # global step — enough to continue bit-identically after a kill
+            opt_state=jax.device_get(_ser.to_state_dict(state.opt_state)),
+            step=int(jax.device_get(state.step)),
             epoch=epoch,
-        ))
+            gstep=int(gstep),
+        )
+        if rng is not None:
+            payload["rng"] = jax.device_get(rng)
+        ckptr.save(path, payload)
         ckptr.wait_until_finished()
         self.kept.append((score, path))
         self.kept.sort(key=lambda t: -t[0])
@@ -688,6 +700,28 @@ def fit(cfg: Config):
         mesh,
     )
     state = create_train_state(model, example, optimizer, seed=cfg.trainer.seed)
+
+    rng = jax.random.PRNGKey(cfg.trainer.seed)
+    gstep = 0
+    start_epoch = 0
+    if cfg.trainer.ckpt_path:
+        # FULL resume: params + batch_stats + opt_state + rng + epoch/step,
+        # continuing the run bit-identically (Lightning `fit --ckpt_path`)
+        from flax import serialization as _ser
+
+        restored = CkptManager.restore(cfg.trainer.ckpt_path)
+        state = state._replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=_ser.from_state_dict(state.opt_state, restored["opt_state"]),
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+        if "rng" in restored:
+            rng = jnp.asarray(restored["rng"])
+        gstep = int(restored.get("gstep", 0))
+        start_epoch = int(restored["epoch"]) + 1
+        print(f"[gapartnet_tpu] full resume from {cfg.trainer.ckpt_path} "
+              f"at epoch {start_epoch}")
     if mesh is not None:
         from gapartnet_tpu.parallel.mesh import replicate_tree
 
@@ -697,10 +731,8 @@ def fit(cfg: Config):
         state = state._replace(params=p, batch_stats=b)
 
     ckpts = CkptManager(cfg.trainer.ckpt_dir, cfg.trainer.save_top_k)
-    rng = jax.random.PRNGKey(cfg.trainer.seed)
     step_fns = {}
-    gstep = 0
-    for epoch in range(cfg.trainer.max_epochs):
+    for epoch in range(start_epoch, cfg.trainer.max_epochs):
         flags = stage_flags(epoch, cfg.trainer.training_schedule)
         key = tuple(sorted(flags.items()))
         if key not in step_fns:
@@ -752,7 +784,7 @@ def fit(cfg: Config):
                 model, state, cfg, datasets, epoch, logger, gstep,
                 do_instance=flags["do_score"], mesh=eval_mesh,
             )
-            ckpts.save(state, epoch, monitor)
+            ckpts.save(state, epoch, monitor, rng=rng, gstep=gstep)
     return state
 
 

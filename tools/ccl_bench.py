@@ -17,6 +17,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 N = int(os.environ.get("CCL_N", "20000"))
+B = int(os.environ.get("CCL_BATCH", "1"))  # vmapped samples, as in the model
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 
 
@@ -34,20 +35,28 @@ def main():
     kw = dict(node_capacity=8192)
     for a in sys.argv[1:]:
         k, v = a.split("=")
-        kw[k] = int(v)
+        try:
+            kw[k] = int(v)
+        except ValueError:
+            kw[k] = v
 
-    c = synthetic_cloud(np.random.RandomState(0), num_points=N, num_parts=6)
     import jax.numpy as jnp
 
-    xyz = jnp.asarray(c["points"][:, :3])
-    sem = jnp.asarray(c["sem_labels"])
-    valid = jnp.asarray(c["sem_labels"] > 0)
+    clouds = [
+        synthetic_cloud(np.random.RandomState(i), num_points=N, num_parts=6)
+        for i in range(B)
+    ]
+    xyz = jnp.asarray(np.stack([c["points"][:, :3] for c in clouds]))
+    sem = jnp.asarray(np.stack([c["sem_labels"] for c in clouds]))
+    valid = jnp.asarray(np.stack([c["sem_labels"] > 0 for c in clouds]))
 
     prev = 0.0
     for stage in ("nodes", "probe", "edges", ""):
         fn = jax.jit(
-            lambda x, s, v: hash_connected_components(
-                x, s, v, 0.04, debug_stage=stage, **kw
+            jax.vmap(
+                lambda x, s, v: hash_connected_components(
+                    x, s, v, 0.04, debug_stage=stage, **kw
+                )
             )
         )
         out = fn(xyz, sem, valid)

@@ -115,14 +115,20 @@ class DenseSubMConv(nn.Module):
 
 class DenseResBlock(nn.Module):
     """Parameter-compatible with backbone.ResBlock (conv1/bn1/conv2/bn2 +
-    optional shortcut_kernel/shortcut_bn)."""
+    optional shortcut_kernel/shortcut_bn).
+
+    act_dtype: keep inter-layer activations in this dtype (eval-time
+    bandwidth saver; the stage is HBM-bound).  None = float32 (required
+    under AD: see _conv)."""
 
     out_channels: int
     compute_dtype: Any = None
+    act_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, occ, train: bool):
         cin = x.shape[-1]
+        cast = (lambda t: t.astype(self.act_dtype)) if self.act_dtype else (lambda t: t)
         if cin == self.out_channels:
             shortcut = x
         else:
@@ -131,14 +137,14 @@ class DenseResBlock(nn.Module):
                 x, w, dimension_numbers=(((4,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            shortcut = MaskedBatchNorm(name="shortcut_bn")(shortcut, occ, train)
+            shortcut = cast(MaskedBatchNorm(name="shortcut_bn")(shortcut, occ, train))
 
         h = DenseSubMConv(self.out_channels, self.compute_dtype, name="conv1")(x)
-        h = MaskedBatchNorm(name="bn1")(h, occ, train)
+        h = cast(MaskedBatchNorm(name="bn1")(h, occ, train))
         h = _mask(nn.relu(h), occ)
         h = DenseSubMConv(self.out_channels, self.compute_dtype, name="conv2")(h)
-        h = MaskedBatchNorm(name="bn2")(h, occ, train)
-        return _mask(nn.relu(h + shortcut), occ)
+        h = cast(MaskedBatchNorm(name="bn2")(h, occ, train))
+        return _mask(nn.relu(h + shortcut.astype(h.dtype)), occ)
 
 
 class DenseUBlock(nn.Module):
@@ -148,16 +154,18 @@ class DenseUBlock(nn.Module):
     block_repeat: int
     compute_dtype: Any = None
     remat: bool = False
+    act_dtype: Any = None
 
     def _block(self, ch, name):
         cls = (
             nn.remat(DenseResBlock, static_argnums=(3,))
             if self.remat else DenseResBlock
         )
-        return cls(ch, self.compute_dtype, name=name)
+        return cls(ch, self.compute_dtype, self.act_dtype, name=name)
 
     @nn.compact
     def __call__(self, x, occ, train: bool):
+        cast = (lambda t: t.astype(self.act_dtype)) if self.act_dtype else (lambda t: t)
         for r in range(self.block_repeat):
             x = self._block(self.channels[0], f"enc{r}")(x, occ, train)
         skip = x
@@ -168,22 +176,22 @@ class DenseUBlock(nn.Module):
                 "down_kernel", _kernel_init, (8, self.channels[0], self.channels[1])
             )
             x = dense_down_conv(x, w_down, self.compute_dtype)
-            x = MaskedBatchNorm(name="down_bn")(x, occ2, train)
+            x = cast(MaskedBatchNorm(name="down_bn")(x, occ2, train))
             x = _mask(nn.relu(x), occ2)
 
             x = DenseUBlock(
                 tuple(self.channels[1:]), self.block_repeat,
-                self.compute_dtype, self.remat, name="ublock",
+                self.compute_dtype, self.remat, self.act_dtype, name="ublock",
             )(x, occ2, train)
 
             w_up = self.param(
                 "up_kernel", _kernel_init, (8, self.channels[1], self.channels[0])
             )
             x = dense_up_conv(x, w_up, self.compute_dtype)
-            x = MaskedBatchNorm(name="up_bn")(x, occ, train)
+            x = cast(MaskedBatchNorm(name="up_bn")(x, occ, train))
             x = _mask(nn.relu(x), occ)
 
-            x = jnp.concatenate([x, skip], axis=-1)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = self._block(self.channels[0], "dec0")(x, occ, train)
             for r in range(1, self.block_repeat):
                 x = self._block(self.channels[0], f"dec{r}")(x, occ, train)
@@ -201,12 +209,15 @@ class DenseProposalUNet(nn.Module):
     block_repeat: int = 2
     compute_dtype: Any = None
     remat: bool = False
+    act_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, occ, train: bool = True):
         x = MaskedBatchNorm(name="stem_bn")(x, occ, train)
+        if self.act_dtype:
+            x = x.astype(self.act_dtype)
         x = _mask(nn.relu(x), occ)
         return DenseUBlock(
             tuple(self.channels), self.block_repeat, self.compute_dtype,
-            self.remat, name="ublock",
+            self.remat, self.act_dtype, name="ublock",
         )(x, occ, train)

@@ -92,6 +92,13 @@ class GAPartNetConfig:
     # (27 GB at B8 — exceeds HBM), while the sparse path's residuals scale
     # with the 2N real entries
     proposal_conv_impl: str = "auto"
+    # dense-path live-grid capacity PER CLOUD: only ~45-84 of the
+    # max_proposals=128 slots are live on real clouds, so live proposals'
+    # grids are compacted into a shared (B * this, S^3) space and the UNets
+    # convolve no dead grids.  Overflow (more live proposals than this)
+    # is counted in counters/dense_grids_dropped and asserted under
+    # GAPARTNET_CHECKS.
+    dense_grid_capacity: int = 96
     # level-0 coordinate bound for dense rulebooks; 1 cm voxels on
     # ball-normalized clouds span <= ~260 cells (reference envelope);
     # out-of-extent voxels (extreme augmentation) lose neighbor links only
@@ -398,25 +405,44 @@ class GAPartNet(nn.Module):
                 )
             )(pt_xyz, prop)  # (B, 2N)
             entry_ok = prop.entry_mask & (entry_cell >= 0)
-            nsites = p_cap * s * s * s
+            s3 = s * s * s
+            # global live-grid compaction: route live proposals' grids into a
+            # shared (B * dense_grid_capacity, S^3) space, so the UNets
+            # convolve no dead grids (live proposals measure ~45-84 of the
+            # P=128 slots per cloud)
+            gcap = b * min(cfg.dense_grid_capacity, p_cap)
+            live = prop.proposal_mask.reshape(-1)  # (B*P,)
+            g_of = jnp.cumsum(live.astype(jnp.int32)) - 1
+            g_of = jnp.where(live & (g_of < gcap), g_of, -1).reshape(b, p_cap)
+            counters["dense_grids_dropped"] = (
+                prop.proposal_mask & (g_of < 0)
+            ).sum(axis=1).astype(jnp.int32)
+            e_gid = jnp.take_along_axis(
+                g_of, prop.entry_proposal.clip(0), axis=1
+            )  # (B, 2N)
+            cell_within = entry_cell - prop.entry_proposal.clip(0) * s3
+            entry_site = jnp.where(
+                entry_ok & (e_gid >= 0), e_gid * s3 + cell_within, -1
+            )  # (B, 2N) global site ids, -1 = dropped
+            site_flat = entry_site.reshape(-1)
+            nsites = gcap * s3
             # voxel features = mean of entry features (reduction="mean")
-            grid_flat = jax.vmap(
-                lambda f, cid, m: segment_mean(f, cid.clip(0), nsites, mask=m)
-            )(entry_feats, entry_cell, entry_ok)  # (B, P*S^3, C)
-            occ_flat = jax.vmap(
-                lambda cid, m: jnp.zeros((nsites,), bool)
-                .at[jnp.where(m, cid, nsites)]
-                .set(True, mode="drop")
-            )(entry_cell, entry_ok)
+            grid_flat = segment_mean(
+                entry_feats.reshape(-1, fea), site_flat.clip(0), nsites,
+                mask=site_flat >= 0,
+            )  # (gcap*S^3, C)
+            occ_flat = jnp.zeros((nsites,), bool).at[
+                jnp.where(site_flat >= 0, site_flat, nsites)
+            ].set(True, mode="drop")
             # store the (mostly-zero) dense grid in the conv compute dtype:
-            # the UNets cast to it per conv anyway, and the (B*P, S^3, C)
+            # the UNets cast to it per conv anyway, and the (G, S^3, C)
             # zero-init + scatter traffic is pure HBM bandwidth
             gdtype = (
                 jnp.bfloat16 if cfg.conv_compute_dtype == "bfloat16"
                 else grid_flat.dtype
             )
-            grid_feats = grid_flat.astype(gdtype).reshape(b * p_cap, s, s, s, fea)
-            occ = occ_flat.reshape(b * p_cap, s, s, s)
+            grid_feats = grid_flat.astype(gdtype).reshape(gcap, s, s, s, fea)
+            occ = occ_flat.reshape(gcap, s, s, s)
             prop_hier = prop_vfeats = entry_voxel_id = None
             counters["proposal_voxels_dropped"] = jnp.zeros((b,), jnp.int32)
         else:
@@ -452,7 +478,7 @@ class GAPartNet(nn.Module):
             prop_vfeats = jax.vmap(
                 lambda f, vid, m: segment_mean(f, vid.clip(0), vcap, mask=m)
             )(entry_feats, entry_voxel_id, entry_voxel_ok)
-            grid_feats = occ = entry_cell = None
+            grid_feats = occ = entry_site = g_of = None
             counters["proposal_voxels_dropped"] = (
                 grid.num_voxels - grid_nvox
             ) + sum(ds.num_dropped for ds in prop_hier.downsamples)
@@ -515,12 +541,18 @@ class GAPartNet(nn.Module):
             if dense_mode:
                 sfeat = DenseProposalUNet(
                     cfg.channels[:2], cfg.block_repeat, compute_dtype=cdtype,
+                    # keep inter-layer activations in the compute dtype at
+                    # eval (the stage is HBM-bound; AD needs f32 at train)
+                    act_dtype=cdtype if not train else None,
                     remat=cfg.remat_blocks, name="score_unet",
-                )(grid_feats, occ, train)  # (B*P, S, S, S, C0)
-                # segmented maxpool (model.py:360-362) = masked max over sites
-                pooled = jnp.where(
-                    occ[..., None], sfeat, jnp.float32(-jnp.inf)
-                ).reshape(b, p_cap, s * s * s, c0).max(axis=2)
+                )(grid_feats, occ, train)  # (G, S, S, S, C0)
+                # segmented maxpool (model.py:360-362) = masked max over
+                # sites of each live grid, mapped back to (B, P) slots
+                pooled_g = jnp.where(
+                    occ[..., None], sfeat, jnp.asarray(-jnp.inf, sfeat.dtype)
+                ).reshape(-1, s * s * s, c0).max(axis=1)  # (G, C0)
+                pooled = pooled_g[g_of.clip(0)].astype(jnp.float32)
+                pooled = jnp.where((g_of >= 0)[..., None], pooled, 0.0)
             else:
                 sfeat = SparseUNet(
                     cfg.channels[:2], cfg.block_repeat, without_stem=True,
@@ -567,14 +599,18 @@ class GAPartNet(nn.Module):
             if dense_mode:
                 nfeat = DenseProposalUNet(
                     cfg.channels[:2], cfg.block_repeat, compute_dtype=cdtype,
+                    act_dtype=cdtype if not train else None,
                     remat=cfg.remat_blocks, name="npcs_unet",
-                )(grid_feats, occ, train)  # (B*P, S, S, S, C0)
-                nf_flat = nfeat.reshape(b, p_cap * s * s * s, cfg.channels[0])
+                )(grid_feats, occ, train)  # (G, S, S, S, C0)
+                nf_flat = nfeat.reshape(-1, cfg.channels[0])  # (G*S^3, C0)
                 # gather per entry BEFORE the (linear) head — identical result,
                 # 27x fewer head FLOPs than head-on-grid
-                entry_nf = _gather_entries_from_voxels(
-                    nf_flat, entry_cell, prop.entry_mask
-                )  # (B, 2N, C0)
+                sflat = entry_site.reshape(-1)
+                entry_nf = jnp.where(
+                    (sflat >= 0)[:, None],
+                    nf_flat[sflat.clip(0)].astype(jnp.float32),
+                    0.0,
+                ).reshape(b, -1, cfg.channels[0])  # (B, 2N, C0)
                 entry_npcs = nn.Dense(3 * (c - 1), name="npcs_head")(entry_nf)
             else:
                 nfeat = SparseUNet(

@@ -58,7 +58,7 @@ def _pack_node(cell: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=(
     "reps", "max_iters", "max_degree", "node_capacity", "debug_stage",
-    "probe_impl", "cand_cap"))
+    "probe_impl", "cand_cap", "symmetrize"))
 def hash_connected_components(
     pt_xyz: jnp.ndarray,
     sem_labels: jnp.ndarray,
@@ -72,6 +72,7 @@ def hash_connected_components(
     set_mask: jnp.ndarray = None,
     probe_impl: str = "sort",
     cand_cap: int = 0,
+    symmetrize: str = "push",
 ):
     """One sample; vmap over the batch.
 
@@ -202,6 +203,14 @@ def hash_connected_components(
         ).reshape(noff, m)
         found_all = (node_keys[idx] == tgt_key) & tin
         vid_all = idx
+    elif probe_impl == "bsearch":
+        # per-query binary search against the VMEM-resident (M,) key table —
+        # avoids method="sort"'s full sort of keys + 62*M queries
+        idx = jnp.clip(
+            jnp.searchsorted(node_keys, tgt_key).astype(jnp.int32), 0, m - 1
+        )
+        found_all = (node_keys[idx] == tgt_key) & tin
+        vid_all = idx
     elif probe_impl == "table":
         window = 4  # a 2.3 cm cell rarely holds > 4 distinct part labels
         num_cells = CELL_X_EXTENT * c * c
@@ -282,32 +291,38 @@ def hash_connected_components(
 
     # restore the reverse direction (half-neighborhood probing): every
     # forward edge points to a HIGHER node id, so min-label information
-    # could never flow upward through the pull loop.  Build the transpose
-    # adjacency with one sort of the (max_degree * M) edge list by
-    # destination + a rank-in-group scatter — cheaper than the 63 probe
-    # searchsorteds + rep-distance gathers it replaces.
-    src = jnp.broadcast_to(
-        jnp.arange(m, dtype=jnp.int32)[None, :], nbr_ids.shape
-    )
-    flat_dst = jnp.where(nbr_ids >= 0, nbr_ids, m).reshape(-1)
-    eorder = jnp.argsort(flat_dst)
-    sd = flat_dst[eorder]
-    ss = src.reshape(-1)[eorder]
-    e_idx = jnp.arange(sd.shape[0], dtype=jnp.int32)
-    firste = jnp.concatenate([jnp.ones((1,), bool), sd[1:] != sd[:-1]])
-    rank_e = e_idx - lax.cummax(jnp.where(firste, e_idx, 0))
-    rev_real = sd < m
-    rev_kept = rev_real & (rank_e < max_degree)
-    rev_ids = jnp.full((max_degree, m), -1, jnp.int32).at[
-        jnp.where(rev_kept, rank_e, 0),
-        jnp.where(rev_kept, sd, m),
-    ].set(ss, mode="drop")
-    # reverse-degree truncation is a real edge loss like the candidate cap —
-    # fold it into the same counter
-    cand_truncated = cand_truncated + jnp.sum(
-        rev_real & ~rev_kept
-    ).astype(jnp.int32)
-    nbr_ids = jnp.concatenate([nbr_ids, rev_ids], axis=0)  # (2*max_degree, M)
+    # could never flow upward through a pull-only loop.  Two modes:
+    #   "transpose": build the reverse adjacency once, with one sort of the
+    #     (max_degree * M) edge list by destination + rank-in-group scatter;
+    #     the loop stays pull-only over the doubled table.
+    #   "push": keep the forward table only; each loop iteration adds one
+    #     scatter-min push along forward edges (no edge loss, no sort).
+    #     DEFAULT: measured 136 vs 169 ms at B8 model shape (PERF.md r3).
+    if symmetrize == "transpose":
+        src = jnp.broadcast_to(
+            jnp.arange(m, dtype=jnp.int32)[None, :], nbr_ids.shape
+        )
+        flat_dst = jnp.where(nbr_ids >= 0, nbr_ids, m).reshape(-1)
+        eorder = jnp.argsort(flat_dst)
+        sd = flat_dst[eorder]
+        ss = src.reshape(-1)[eorder]
+        e_idx = jnp.arange(sd.shape[0], dtype=jnp.int32)
+        firste = jnp.concatenate([jnp.ones((1,), bool), sd[1:] != sd[:-1]])
+        rank_e = e_idx - lax.cummax(jnp.where(firste, e_idx, 0))
+        rev_real = sd < m
+        rev_kept = rev_real & (rank_e < max_degree)
+        rev_ids = jnp.full((max_degree, m), -1, jnp.int32).at[
+            jnp.where(rev_kept, rank_e, 0),
+            jnp.where(rev_kept, sd, m),
+        ].set(ss, mode="drop")
+        # reverse-degree truncation is a real edge loss like the candidate
+        # cap — fold it into the same counter
+        cand_truncated = cand_truncated + jnp.sum(
+            rev_real & ~rev_kept
+        ).astype(jnp.int32)
+        nbr_ids = jnp.concatenate([nbr_ids, rev_ids], axis=0)
+    elif symmetrize != "push":
+        raise ValueError(symmetrize)
     if debug_stage == "edges":
         return nbr_ids
 
@@ -323,6 +338,15 @@ def hash_connected_components(
         prev = labels
         nl = jnp.where(nbr_ids >= 0, labels[nbr_ids.clip(0)], m)
         labels = jnp.minimum(labels, jnp.min(nl, axis=0))
+        if symmetrize == "push":
+            # push the (updated) source labels along forward edges so minima
+            # also flow toward higher node ids
+            labels = labels.at[
+                jnp.where(nbr_ids >= 0, nbr_ids, m)
+            ].min(
+                jnp.broadcast_to(labels[None, :], nbr_ids.shape),
+                mode="drop",
+            )
         # pointer jumping: labels index labels, each jump composes the
         # pointer function (cheap (M,) gathers vs the wide edge gather)
         labels = labels[labels]

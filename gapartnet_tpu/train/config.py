@@ -92,6 +92,7 @@ _MODEL_KEY_MAP = {
     "rulebook_impl": "rulebook_impl",
     "input_grid_extent": "input_grid_extent",
     "proposal_voxel_capacity": "proposal_voxel_capacity",
+    "dense_grid_capacity": "dense_grid_capacity",
     "remat_blocks": "remat_blocks",
 }
 

@@ -210,6 +210,65 @@ def test_sharded_eval_matches_single_device(config_file, tmp_path, monkeypatch):
                                    err_msg=k)
 
 
+def test_multihost_metric_mean_simulated(config_file, tmp_path, monkeypatch):
+    """Simulate process_count == 2 in evaluate_splits: the collective must be
+    entered with the deterministic key vector, a peer's NaN entries must drop
+    out of the nanmean, and peer values must average positionally
+    (trainer.py:658-675; ADVICE r2 medium)."""
+    import dataclasses
+
+    import jax
+
+    from gapartnet_tpu.models.gapartnet import GAPartNet
+    from gapartnet_tpu.train import trainer
+    from gapartnet_tpu.train.config import load_config
+    from gapartnet_tpu.train.loop import adam, create_train_state
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(str(config_file))
+    cfg.model = dataclasses.replace(
+        cfg.model, level_capacity_divisors=(1, 2), ball_query_radius=0.1
+    )
+    model = GAPartNet(cfg.model)
+    datasets = trainer.build_datasets(cfg, "test")
+    example = trainer._np_batch_to_device(
+        next(trainer._iter_batches(datasets["val"], cfg.data.val_batch_size, False))
+    )
+    state = create_train_state(model, example, adam(1e-3), seed=0)
+    logger = trainer.MetricLogger(str(tmp_path / "mh.jsonl"))
+
+    _, single = trainer.evaluate_splits(
+        model, state, cfg, datasets, 0, logger, 0, do_instance=True, mesh=None
+    )
+
+    calls = {}
+
+    def fake_allgather(vec):
+        calls["len"] = len(vec)
+        # peer process: half the vector NaN (its shard left those splits
+        # empty), the other half shifted by +2
+        peer = np.where(np.arange(len(vec)) % 2 == 0, np.nan, vec + 2.0)
+        return np.stack([np.asarray(vec), peer.astype(np.float32)])
+
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    _, merged = trainer.evaluate_splits(
+        model, state, cfg, datasets, 0, logger, 0, do_instance=True, mesh=None
+    )
+
+    keys = trainer._expected_eval_keys(
+        trainer.make_reduced_eval_step(model, cfg, True), state, cfg, True
+    )
+    assert calls["len"] == len(keys)
+    for i, k in enumerate(keys):
+        if k not in single:
+            continue
+        expect = single[k] if i % 2 == 0 else single[k] + 1.0
+        np.testing.assert_allclose(merged[k], expect, rtol=1e-5, err_msg=k)
+
+
 def test_expected_eval_keys_cover_observed(config_file, tmp_path, monkeypatch):
     """The deterministic cross-process key set (multi-host metric mean) must
 

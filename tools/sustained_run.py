@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Sustained staged training run on real articulated-object geometry.
+
+The round-3 evidence artifact for BASELINE config #5 (staged training,
+reference model.py:528-601 + gapartnet.yaml:66-84):
+
+  1. renders a few-shot dataset of REAL example-asset views at the flagship
+     envelope (20000 points) with the SAPIEN-free renderer (datagen/assets.py)
+  2. `fit` with training_schedule [5, 10] to max_epochs 8 — both stage
+     transitions crossed, eval + top-k checkpointing every epoch
+  3. simulated interruption: a SECOND `fit` resumes FULLY (params/opt_state/
+     rng/epoch, trainer.ckpt_path) from the epoch-7 checkpoint to epoch 13
+  4. `test` from the last checkpoint
+
+Metric JSONL logs land in --workdir (committed as runs/sustained_r3/).
+
+    python tools/sustained_run.py --workdir runs/sustained_r3
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+ASSETS = [
+    "/root/reference/example_assets/45780",
+    "/root/reference/example_assets/102442",
+]
+N_POINTS = 20000
+
+
+def build_dataset(root: Path):
+    import numpy as np
+
+    from gapartnet_tpu.datagen import assets
+
+    render_dir = root / "render"
+    names = {a: [] for a in ASSETS}
+    for ai, asset in enumerate(ASSETS):
+        for ridx in range(12):
+            n = assets.render_asset_view(
+                str(asset), str(render_dir), render_idx=ridx,
+                seed=100 * ai + ridx, width=512, height=512,
+                num_surface_samples=200_000, num_points=N_POINTS,
+            )
+            assert n is not None, (asset, ridx)
+            names[asset].append(n)
+            print(f"rendered {n} ({ridx})", flush=True)
+
+    # splits: 8+8 train, 2+2 val, test_intra = seen object (45780),
+    # test_inter = the other object (102442) — mirroring the reference's
+    # seen/unseen-category split semantics at toy scale
+    split_names = {
+        "train": names[ASSETS[0]][:8] + names[ASSETS[1]][:8],
+        "val": names[ASSETS[0]][8:10] + names[ASSETS[1]][8:10],
+        "test_intra": names[ASSETS[0]][10:12],
+        "test_inter": names[ASSETS[1]][10:12],
+    }
+    for split, use in split_names.items():
+        d = root / split / "pth"
+        d.mkdir(parents=True, exist_ok=True)
+        for n in use:
+            src = np.load(render_dir / "pth" / f"{n}.npz")
+            np.savez(
+                d / f"{n}.npz",
+                xyz=src["xyz"], rgb=src["rgb"], sem_labels=src["sem_labels"],
+                instance_labels=src["instance_labels"], gt_npcs=src["gt_npcs"],
+            )
+
+
+def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str):
+    from gapartnet_tpu.train.config import Config, DataConfig, TrainerConfig
+    from gapartnet_tpu.models.gapartnet import GAPartNetConfig
+
+    model = GAPartNetConfig(conv_compute_dtype="bfloat16")
+    data = DataConfig(
+        root_dir=str(root), max_points=N_POINTS, train_batch_size=4,
+        val_batch_size=4, num_workers=2, max_instances=model.max_instances,
+    )
+    trainer = TrainerConfig(
+        max_epochs=max_epochs, training_schedule=(5, 10), seed=23333,
+        ckpt_dir=str(workdir / "checkpoints"),
+        log_file=str(workdir / log_name), save_top_k=3,
+    )
+    return Config(model=model, data=data, trainer=trainer)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="runs/sustained_r3")
+    ap.add_argument("--data", default="/tmp/sustained_data")
+    ap.add_argument("--skip-render", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+    )
+    workdir = Path(args.workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    root = Path(args.data)
+    if not args.skip_render:
+        build_dataset(root)
+
+    from gapartnet_tpu.train import trainer as T
+
+    # phase 1: epochs 0-7 (crosses the epoch-5 scorenet transition)
+    cfg = make_cfg(root, workdir, max_epochs=8, log_name="fit_phase1.jsonl")
+    T.fit(cfg)
+
+    # phase 2: full resume from the epoch-7 checkpoint -> epoch 13 (crosses
+    # the epoch-10 npcs transition); params/opt_state/rng restored exactly
+    ckpts = sorted(Path(cfg.trainer.ckpt_dir).iterdir())
+    ep7 = [p for p in ckpts if p.name.startswith("epoch_007")]
+    assert ep7, ckpts
+    cfg2 = make_cfg(root, workdir, max_epochs=13, log_name="fit_phase2.jsonl")
+    cfg2.trainer.ckpt_path = str(ep7[0])
+    T.fit(cfg2)
+
+    # test from the newest checkpoint
+    ckpts = sorted(Path(cfg.trainer.ckpt_dir).iterdir())
+    cfg3 = make_cfg(root, workdir, max_epochs=13, log_name="test.jsonl")
+    cfg3.trainer.resume_ckpt = str(ckpts[-1])
+    metrics = T.test(cfg3)
+    (workdir / "test_metrics.json").write_text(
+        json.dumps({k: float(v) for k, v in metrics.items()}, indent=1)
+    )
+    print("sustained run complete:", workdir, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -135,6 +135,12 @@ def enabled() -> bool:
     modeled win over the XLA windowed slice-gather path, which is no longer
     the e2e bottleneck — see PERF.md round 2).  Revisit when the toolchain
     surfaces Mosaic errors or gains multi-vreg dynamic_gather.
+
+    Status 2026-08-17 (round 3): retried both table sizes (V=512 and
+    V=20000) against the current toolchain via the remote AOT service —
+    still "HTTP 500: tpu_compile_helper subprocess exit code 1" with the
+    Mosaic diagnostic scrubbed; no change in observable behavior.  The
+    kernel stays behind GAPARTNET_PALLAS=1 with interpret-mode tests.
     """
     import os
 

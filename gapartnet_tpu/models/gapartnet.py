@@ -110,6 +110,12 @@ class GAPartNetConfig:
     max_instances: int = 64
     # per-UNet-level voxel capacity schedule (fractions of the input capacity)
     level_capacity_divisors: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
+    # explicit per-level capacities (overrides the divisor schedule when
+    # set).  Real articulated surfaces keep far more voxels per stride-2
+    # level than the synthetic blobs the divisors were tuned on; size this
+    # from the data with data/capacity.scan_level_capacities (enabled
+    # end-to-end via DataConfig.auto_capacity)
+    level_capacities: Optional[Tuple[int, ...]] = None
     proposal_level_divisors: Tuple[int, ...] = (1, 2)
     # voxel capacity of the proposal (ScoreNet/NPCS) grid on the sparse
     # (train) path.  Entries are 2N (every valid point appears once per
@@ -121,6 +127,14 @@ class GAPartNetConfig:
     proposal_voxel_capacity: int = 8192
 
     def input_capacities(self) -> Tuple[int, ...]:
+        if self.level_capacities is not None:
+            assert len(self.level_capacities) == len(
+                self.level_capacity_divisors
+            ), (self.level_capacities, self.level_capacity_divisors)
+            return tuple(
+                min(max(int(c), 64), self.max_points)
+                for c in self.level_capacities
+            )
         return tuple(
             max(self.max_points // d, 64) for d in self.level_capacity_divisors
         )

@@ -37,6 +37,10 @@ class DataConfig:
     train_with_all: bool = False
     nopart_path: str = "data/nopart.txt"
     max_instances: int = 64
+    # scan the datasets at setup and size model.level_capacities from real
+    # per-level voxel occupancy (data/capacity.py) instead of the divisor
+    # schedule.  Costs one pass over <=48 samples/split on the host.
+    auto_capacity: bool = False
 
 
 @dataclasses.dataclass

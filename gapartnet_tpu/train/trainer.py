@@ -678,11 +678,32 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
     return metrics.get("monitor_metrics/mean_mAP", 0.0), metrics
 
 
+def _apply_auto_capacity(cfg: Config, datasets) -> None:
+    """Size model.level_capacities from the real datasets (data/capacity.py).
+
+    Mutates cfg.model (dataclasses.replace — the model config is frozen) so
+    every graph built afterwards compiles at data-fitted voxel capacities.
+    """
+    if not cfg.data.auto_capacity or cfg.model.backbone_type != "SparseUNet":
+        return
+    from gapartnet_tpu.data.capacity import scan_level_capacities
+
+    caps = scan_level_capacities(
+        [d for d in datasets.values() if d is not None],
+        cfg.model.voxel_size,
+        len(cfg.model.level_capacity_divisors),
+        cfg.model.max_points,
+    )
+    cfg.model = dataclasses.replace(cfg.model, level_capacities=caps)
+    print(f"[gapartnet_tpu] auto_capacity: level capacities {caps}", flush=True)
+
+
 def fit(cfg: Config):
     import jax as _jax
 
-    model = GAPartNet(cfg.model)
     datasets = build_datasets(cfg, "fit")
+    _apply_auto_capacity(cfg, datasets)
+    model = GAPartNet(cfg.model)
     logger = MetricLogger(
         cfg.trainer.log_file, cfg.trainer.use_wandb, run_name=run_name(cfg)
     )
@@ -789,8 +810,9 @@ def fit(cfg: Config):
 
 
 def test(cfg: Config):
-    model = GAPartNet(cfg.model)
     datasets = build_datasets(cfg, "test")
+    _apply_auto_capacity(cfg, datasets)
+    model = GAPartNet(cfg.model)
     logger = MetricLogger(cfg.trainer.log_file, cfg.trainer.use_wandb)
     optimizer = adam(cfg.trainer.learning_rate)
 

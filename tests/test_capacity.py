@@ -1,0 +1,88 @@
+"""Data-driven capacity sizing (data/capacity.py).
+
+The divisor-schedule defaults were tuned on synthetic blobs; real surfaces
+keep more voxels per stride-2 level.  auto_capacity must (a) bound every
+observed per-level unique-voxel count, (b) respect clamps/rounding, and
+(c) flow into the model's input_capacities() via level_capacities.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from gapartnet_tpu.data.capacity import _unique_counts, scan_level_capacities
+from gapartnet_tpu.data.loader import GAPartNetDataset
+from gapartnet_tpu.models.gapartnet import GAPartNetConfig
+
+
+@pytest.fixture
+def npz_dir(tmp_path, rng):
+    d = tmp_path / "train" / "pth"
+    d.mkdir(parents=True)
+    for name in ("Box_0_00_000", "Box_0_00_001"):
+        n = 500
+        # a flat-ish surface patch: many distinct voxels at coarse levels
+        xyz = np.stack(
+            [rng.rand(n), rng.rand(n), 0.02 * rng.rand(n)], 1
+        ).astype(np.float32)
+        np.savez(
+            d / f"{name}.npz",
+            xyz=xyz,
+            rgb=rng.rand(n, 3).astype(np.float32),
+            sem_labels=rng.randint(0, 10, n).astype(np.int32),
+            instance_labels=rng.randint(0, 3, n).astype(np.int32),
+            gt_npcs=rng.rand(n, 3).astype(np.float32) - 0.5,
+        )
+    return d
+
+
+def test_scan_bounds_observed_counts(npz_dir):
+    ds = GAPartNetDataset(npz_dir, max_points=500)
+    caps = scan_level_capacities(
+        [ds], (0.01, 0.01, 0.01), 5, 500, round_to=16, headroom=1.0
+    )
+    assert len(caps) == 5
+    for i in range(len(ds)):
+        item = ds[i]
+        xyz = item["points"][item["point_mask"]][:, :3]
+        counts = _unique_counts(xyz, (0.01, 0.01, 0.01), 5)
+        assert all(c <= cap for c, cap in zip(counts, caps)), (counts, caps)
+    # rounding + clamps
+    assert all(c % 16 == 0 or c in (64, 500) for c in caps)
+    assert all(64 <= c <= 500 for c in caps)
+    # monotone non-increasing across levels (coarser grid, fewer voxels)
+    assert list(caps) == sorted(caps, reverse=True)
+
+
+def test_scan_covers_augmentation_envelope(npz_dir):
+    plain = GAPartNetDataset(npz_dir, max_points=500)
+    aug = GAPartNetDataset(
+        npz_dir, max_points=500, augmentation=True,
+        pos_jitter=0.1, flip_prob=0.5, rotate_prob=0.5, seed=3,
+    )
+    caps_plain = scan_level_capacities(
+        [plain], (0.01, 0.01, 0.01), 4, 500, round_to=1, headroom=1.0
+    )
+    caps_aug = scan_level_capacities(
+        [aug], (0.01, 0.01, 0.01), 4, 500, round_to=1, headroom=1.0,
+        augment_trials=4,
+    )
+    # jitter shears the cloud -> strictly more mid-level voxels
+    assert any(a > p for a, p in zip(caps_aug, caps_plain)), (
+        caps_aug, caps_plain,
+    )
+    # epoch is restored after the scan
+    assert aug.epoch == 0
+
+
+def test_level_capacities_override_divisors():
+    cfg = GAPartNetConfig(max_points=1000)
+    assert cfg.input_capacities() == (1000, 500, 250, 125, 64, 64, 64)
+    cfg2 = dataclasses.replace(
+        cfg, level_capacities=(1000, 900, 400, 120, 32, 8, 2000)
+    )
+    # clamped to [64, max_points]
+    assert cfg2.input_capacities() == (1000, 900, 400, 120, 64, 64, 1000)
+    with pytest.raises(AssertionError):
+        dataclasses.replace(cfg, level_capacities=(5, 5)).input_capacities()

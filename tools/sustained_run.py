@@ -79,6 +79,9 @@ def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str):
     data = DataConfig(
         root_dir=str(root), max_points=N_POINTS, train_batch_size=4,
         val_batch_size=4, num_workers=2, max_instances=model.max_instances,
+        # real surfaces overflow the synthetic-tuned divisor schedule at the
+        # mid levels (measured L1 16.5k vs 10k default) — size from the data
+        auto_capacity=True,
     )
     trainer = TrainerConfig(
         max_epochs=max_epochs, training_schedule=(5, 10), seed=23333,

@@ -41,7 +41,11 @@ def main():
     from gapartnet_tpu.utils import visu
 
     cfg = GAPartNetConfig()
-    infer = GAPartNetInference(cfg=cfg, ckpt_path=args.ckpt or None)
+    # auto_capacity: real clouds overflow the divisor-schedule voxel
+    # capacities at the mid levels — size them from the input instead
+    infer = GAPartNetInference(
+        cfg=cfg, ckpt_path=args.ckpt or None, auto_capacity=True
+    )
 
     trans = None
     if args.depth:

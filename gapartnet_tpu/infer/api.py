@@ -118,7 +118,16 @@ class GAPartNetInference:
         ckpt_path: Optional[str] = None,
         variables=None,
         seed: int = 0,
+        auto_capacity: bool = False,
     ):
+        # auto_capacity: size the per-level voxel capacities from the first
+        # input cloud instead of the synthetic-tuned divisor schedule (real
+        # surfaces overflow it at the mid levels; data/capacity.py).  Params
+        # are capacity-independent, so graphs rebuild but weights carry over;
+        # capacities only ever grow afterwards (recompiles are bounded by the
+        # 1024-bucket rounding).
+        self.auto_capacity = auto_capacity
+        self._capacity_fitted = False
         self.cfg = cfg or GAPartNetConfig()
         self.model = GAPartNet(self.cfg)
         if variables is None:
@@ -149,7 +158,9 @@ class GAPartNetInference:
 
                 variables = jax.jit(_init)(dummy)
         self.variables = variables
+        self._build_graphs()
 
+    def _build_graphs(self):
         self._forward = jax.jit(
             lambda b: self.model.apply(
                 self.variables, b, train=False,
@@ -161,6 +172,32 @@ class GAPartNetInference:
         self._select = jax.jit(
             lambda out: select_eval_proposals(out, self.cfg, self.cfg.max_points)
         )
+
+    def _ensure_capacity(self, points: np.ndarray) -> None:
+        """Grow level capacities to cover this cloud (auto_capacity mode)."""
+        if not self.auto_capacity:
+            return
+        import dataclasses
+
+        from gapartnet_tpu.data.capacity import _unique_counts
+
+        levels = len(self.cfg.level_capacity_divisors)
+        counts = _unique_counts(
+            points[:, :3].astype(np.float64), self.cfg.voxel_size, levels
+        )
+        needed = tuple(
+            min(max(-(-int(c * 1.08) // 1024) * 1024, 128), self.cfg.max_points)
+            for c in counts
+        )
+        cur = self.cfg.input_capacities()
+        if self._capacity_fitted:
+            if all(n <= c for n, c in zip(needed, cur)):
+                return
+            needed = tuple(max(n, c) for n, c in zip(needed, cur))
+        self.cfg = dataclasses.replace(self.cfg, level_capacities=needed)
+        self.model = GAPartNet(self.cfg)
+        self._capacity_fitted = True
+        self._build_graphs()
 
     def _wrap_points(self, points: np.ndarray) -> PointCloudBatch:
         n, cap = points.shape[0], self.cfg.max_points
@@ -186,6 +223,7 @@ class GAPartNetInference:
         forward -> score/size filter + NMS -> NPCS scatter -> RANSAC bboxes.
         """
         n = points.shape[0]
+        self._ensure_capacity(points)
         batch = self._wrap_points(points)
         out = self._forward(batch)
         keep = np.asarray(self._select(out))[0]
@@ -274,6 +312,7 @@ class GAPartNetInference:
         """
         from gapartnet_tpu.models.grouping import SampleProposals
 
+        self._ensure_capacity(points)
         cfg = self.cfg
         n = points.shape[0]
         cap = 2 * cfg.max_points

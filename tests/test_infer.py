@@ -75,3 +75,25 @@ def test_joint_angle_recovery(rng):
     np.testing.assert_allclose(np.abs(est["axis"]), np.abs(axis), atol=1e-3)
     # pivot lies on the axis: its xy must match (z is unconstrained)
     np.testing.assert_allclose(est["pivot"][:2], pivot[:2], atol=1e-2)
+
+
+def test_inference_auto_capacity(rng):
+    """auto_capacity sizes level capacities from the input cloud, reuses
+    weights across the graph rebuild, and only ever grows capacities."""
+    infer = GAPartNetInference(cfg=SMALL_CFG, auto_capacity=True)
+    c = synthetic_cloud(rng, num_points=SMALL_CFG.max_points, num_parts=3)
+    res = infer.predict(c["points"])
+    assert infer._capacity_fitted
+    caps1 = infer.cfg.input_capacities()
+    # fitted capacities bound the actual cloud occupancy
+    from gapartnet_tpu.data.capacity import _unique_counts
+
+    counts = _unique_counts(
+        c["points"][:, :3].astype(np.float64), infer.cfg.voxel_size, len(caps1)
+    )
+    assert all(n <= cap for n, cap in zip(counts, caps1)), (counts, caps1)
+    assert res.sem_preds.shape == (SMALL_CFG.max_points,)
+    # a second, smaller cloud must NOT shrink capacities (no recompile)
+    c2 = synthetic_cloud(rng, num_points=SMALL_CFG.max_points // 2, num_parts=2)
+    infer.predict(c2["points"])
+    assert infer.cfg.input_capacities() == caps1

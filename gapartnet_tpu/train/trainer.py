@@ -197,7 +197,8 @@ class CkptManager:
 
     ckpt_dir: str
     save_top_k: int = 5
-    kept: List = dataclasses.field(default_factory=list)  # (score, path)
+    save_last: bool = True
+    kept: List = dataclasses.field(default_factory=list)  # (score, epoch, path)
 
     def __post_init__(self):
         import orbax.checkpoint as ocp
@@ -227,13 +228,28 @@ class CkptManager:
             payload["rng"] = jax.device_get(rng)
         ckptr.save(path, payload)
         ckptr.wait_until_finished()
-        self.kept.append((score, path))
-        self.kept.sort(key=lambda t: -t[0])
+        # later epochs win monitor ties (a run whose metric has not moved yet
+        # must still keep its NEWEST checkpoints, or resume-from-latest breaks)
+        self.kept.append((score, epoch, path))
+        self.kept.sort(key=lambda t: (-t[0], -t[1]))
         while len(self.kept) > self.save_top_k:
-            _, worst = self.kept.pop()
+            worst = self.kept.pop()[-1]
             import shutil
 
             shutil.rmtree(worst, ignore_errors=True)
+        if self.save_last:
+            # always-current "last" checkpoint outside the top-k pool
+            # (ModelCheckpoint save_last semantics): write fresh, then
+            # atomically swap in place of the previous one
+            import shutil
+
+            last = os.path.abspath(os.path.join(self.ckpt_dir, "last"))
+            tmp = last + f".tmp_{epoch:03d}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            ckptr.save(tmp, payload)
+            ckptr.wait_until_finished()
+            shutil.rmtree(last, ignore_errors=True)
+            os.rename(tmp, last)
 
     @staticmethod
     def restore(path: str):

@@ -136,3 +136,30 @@ def test_resume_bit_matches_uninterrupted(data_root, tmp_path, monkeypatch):
     ]
     epochs = [l["epoch"] for l in lines if "epoch" in l]
     assert min(epochs) >= 2 and max(epochs) == 3
+
+
+def test_ckpt_manager_save_last_and_tie_keeping(tmp_path):
+    """With a flat monitor, top-k must keep the NEWEST epochs among ties and
+    `last` must always point at the most recent epoch (resume-from-latest
+    depends on it; Lightning ModelCheckpoint save_last semantics)."""
+    import jax.numpy as jnp
+    import optax
+
+    from gapartnet_tpu.train.loop import TrainState
+    from gapartnet_tpu.train.trainer import CkptManager
+
+    params = {"w": jnp.arange(4.0)}
+    opt = optax.adam(1e-3)
+    mgr = CkptManager(str(tmp_path), save_top_k=2)
+    for epoch in range(5):
+        state = TrainState(
+            params={"w": jnp.full(4, float(epoch))}, batch_stats={},
+            opt_state=opt.init(params), step=jnp.asarray(epoch),
+        )
+        mgr.save(state, epoch, 0.0, gstep=epoch)
+    names = sorted(p.name for p in tmp_path.iterdir())
+    # newest ties kept, oldest evicted; `last` always present
+    assert names == ["epoch_003_mAP_0.00", "epoch_004_mAP_0.00", "last"]
+    restored = CkptManager.restore(str(tmp_path / "last"))
+    assert restored["epoch"] == 4 and restored["gstep"] == 4
+    np.testing.assert_array_equal(restored["params"]["w"], np.full(4, 4.0))

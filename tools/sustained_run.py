@@ -116,19 +116,19 @@ def main():
     cfg = make_cfg(root, workdir, max_epochs=8, log_name="fit_phase1.jsonl")
     T.fit(cfg)
 
-    # phase 2: full resume from the epoch-7 checkpoint -> epoch 13 (crosses
-    # the epoch-10 npcs transition); params/opt_state/rng restored exactly
-    ckpts = sorted(Path(cfg.trainer.ckpt_dir).iterdir())
-    ep7 = [p for p in ckpts if p.name.startswith("epoch_007")]
-    assert ep7, ckpts
+    # phase 2: full resume from the always-saved `last` checkpoint (epoch 7)
+    # -> epoch 13 (crosses the epoch-10 npcs transition); params/opt_state/
+    # rng restored exactly.  Top-k alone cannot serve here: with the monitor
+    # flat at 0 early, top-k keeps the earliest ties, not the newest epoch.
+    last = Path(cfg.trainer.ckpt_dir) / "last"
+    assert last.exists(), list(Path(cfg.trainer.ckpt_dir).iterdir())
     cfg2 = make_cfg(root, workdir, max_epochs=13, log_name="fit_phase2.jsonl")
-    cfg2.trainer.ckpt_path = str(ep7[0])
+    cfg2.trainer.ckpt_path = str(last)
     T.fit(cfg2)
 
     # test from the newest checkpoint
-    ckpts = sorted(Path(cfg.trainer.ckpt_dir).iterdir())
     cfg3 = make_cfg(root, workdir, max_epochs=13, log_name="test.jsonl")
-    cfg3.trainer.resume_ckpt = str(ckpts[-1])
+    cfg3.trainer.resume_ckpt = str(last)
     metrics = T.test(cfg3)
     (workdir / "test_metrics.json").write_text(
         json.dumps({k: float(v) for k, v in metrics.items()}, indent=1)

@@ -56,18 +56,20 @@ def main():
 
         import jax.numpy as jnp
 
-        from gapartnet_tpu.data.capacity import _unique_counts
+        from gapartnet_tpu.data.capacity import _counts_and_span
         from gapartnet_tpu.structures import PointCloudBatch
 
         d = np.load(cloud_path)
         pts = np.concatenate([d["xyz"], d["rgb"]], axis=1).astype(np.float32)
-        counts = _unique_counts(
+        counts, span = _counts_and_span(
             pts[:, :3].astype(np.float64), cfg.voxel_size,
             len(cfg.level_capacity_divisors))
         caps = tuple(
             min(max(-(-int(c * 1.08) // 128) * 128, 64), cfg.max_points)
             for c in counts)
-        cfg = dataclasses.replace(cfg, level_capacities=caps)
+        extent = tuple(max(-(-int(s * 1.08) // 16) * 16, 32) for s in span)
+        cfg = dataclasses.replace(
+            cfg, level_capacities=caps, input_grid_extent=extent)
         batch = PointCloudBatch(
             points=jnp.asarray(np.tile(pts[None], (BATCH_SIZE, 1, 1))),
             point_mask=jnp.ones((BATCH_SIZE, cfg.max_points), bool),

@@ -28,6 +28,13 @@ import numpy as np
 
 def _unique_counts(xyz: np.ndarray, voxel_size, num_levels: int):
     """Unique voxel count of `xyz` at each stride-2 level."""
+    return _counts_and_span(xyz, voxel_size, num_levels)[0]
+
+
+def _counts_and_span(xyz: np.ndarray, voxel_size, num_levels: int):
+    """(per-level unique voxel counts, level-0 per-axis span in cells)."""
+    if len(xyz) == 0:
+        return [0] * num_levels, np.zeros(3, np.int64)
     vox = np.floor(
         (xyz - xyz.min(0)) / np.asarray(voxel_size, np.float64)
     ).astype(np.int64)
@@ -36,7 +43,7 @@ def _unique_counts(xyz: np.ndarray, voxel_size, num_levels: int):
         c = vox >> lvl
         key = (c[:, 0] << 42) + (c[:, 1] << 21) + c[:, 2]
         out.append(len(np.unique(key)))
-    return out
+    return out, vox.max(0) + 1
 
 
 def scan_level_capacities(
@@ -59,7 +66,37 @@ def scan_level_capacities(
     max observed count x headroom, rounded up to `round_to`, clamped to
     [64, max_points].
     """
+    return scan_dataset_shapes(
+        datasets, voxel_size, num_levels, max_points,
+        augment_trials=augment_trials, headroom=headroom,
+        round_to=round_to, max_samples=max_samples,
+    )[0]
+
+
+def scan_dataset_shapes(
+    datasets: Iterable,
+    voxel_size: Sequence[float],
+    num_levels: int,
+    max_points: int,
+    *,
+    augment_trials: int = 3,
+    headroom: float = 1.08,
+    round_to: int = 128,
+    extent_round_to: int = 16,
+    max_samples: int = 48,
+) -> Tuple[Tuple[int, ...], Tuple[int, int, int]]:
+    """One data pass -> (per-level capacities, level-0 grid extent).
+
+    The extent bounds the dense rulebook coordinate table
+    (GAPartNetConfig.input_grid_extent, a ~2-byte entry per cell): fitting
+    it to the observed per-axis span (x headroom, rounded to
+    `extent_round_to`) shrinks the per-call table memset — real clouds
+    span ~(210, 245, 222) cells vs the conservative 288^3 default.
+    Out-of-extent voxels only lose neighbor links, so a rare outlier
+    degrades gracefully rather than crashing.
+    """
     mx = np.zeros(num_levels, np.int64)
+    span = np.zeros(3, np.int64)
     for ds in datasets:
         if ds is None or len(ds) == 0:
             continue
@@ -74,11 +111,16 @@ def scan_level_capacities(
                 for i in idxs:
                     item = ds[int(i)]
                     xyz = item["points"][item["point_mask"]][:, :3]
-                    mx = np.maximum(
-                        mx, _unique_counts(xyz, voxel_size, num_levels)
-                    )
+                    counts, sp = _counts_and_span(xyz, voxel_size, num_levels)
+                    mx = np.maximum(mx, counts)
+                    span = np.maximum(span, sp)
         finally:
             ds.epoch = epoch0
     caps = np.ceil(mx * headroom / round_to).astype(np.int64) * round_to
     caps = np.minimum(np.maximum(caps, 64), max_points)
-    return tuple(int(c) for c in caps)
+    ext = np.ceil(span * headroom / extent_round_to).astype(np.int64)
+    ext = np.maximum(ext * extent_round_to, 32)
+    return (
+        tuple(int(c) for c in caps),
+        (int(ext[0]), int(ext[1]), int(ext[2])),
+    )

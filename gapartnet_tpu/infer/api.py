@@ -179,22 +179,30 @@ class GAPartNetInference:
             return
         import dataclasses
 
-        from gapartnet_tpu.data.capacity import _unique_counts
+        from gapartnet_tpu.data.capacity import _counts_and_span
 
         levels = len(self.cfg.level_capacity_divisors)
-        counts = _unique_counts(
+        counts, span = _counts_and_span(
             points[:, :3].astype(np.float64), self.cfg.voxel_size, levels
         )
         needed = tuple(
             min(max(-(-int(c * 1.08) // 1024) * 1024, 128), self.cfg.max_points)
             for c in counts
         )
+        # grid extent for the dense rulebook table: 32-cell buckets
+        ext = tuple(max(-(-int(s * 1.08) // 32) * 32, 32) for s in span)
         cur = self.cfg.input_capacities()
+        cur_ext = self.cfg.input_grid_extent
         if self._capacity_fitted:
-            if all(n <= c for n, c in zip(needed, cur)):
+            if all(n <= c for n, c in zip(needed, cur)) and all(
+                e <= c for e, c in zip(ext, cur_ext)
+            ):
                 return
             needed = tuple(max(n, c) for n, c in zip(needed, cur))
-        self.cfg = dataclasses.replace(self.cfg, level_capacities=needed)
+            ext = tuple(max(e, c) for e, c in zip(ext, cur_ext))
+        self.cfg = dataclasses.replace(
+            self.cfg, level_capacities=needed, input_grid_extent=ext
+        )
         self.model = GAPartNet(self.cfg)
         self._capacity_fitted = True
         self._build_graphs()

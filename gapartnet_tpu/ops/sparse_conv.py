@@ -112,8 +112,13 @@ def build_subm_rulebook(
         assert v < (1 << 15), "int16 rank table requires V < 32768"
         src_in = valid & jnp.all(coords < jnp.asarray(extent), axis=-1)
         lin = (coords[:, 0] * ey + coords[:, 1]) * ez + coords[:, 2]
-        table = jnp.full((ex * ey * ez,), -1, jnp.int16).at[
-            jnp.where(src_in, lin, ex * ey * ez)
+        # the table is built PRE-PADDED (one front + two back sentinel slots,
+        # entry i at tpad[i+1]) so the z-window probe below needs no
+        # concatenate — a concat would copy the whole ex*ey*ez*2-byte table
+        # (~48 MB at 288^3) through HBM every call
+        tsize = ex * ey * ez
+        tpad = jnp.full((tsize + 3,), -1, jnp.int16).at[
+            jnp.where(src_in, lin + 1, tsize + 3)
         ].set(jnp.arange(v, dtype=jnp.int16), mode="drop")
         tin = in_bounds & jnp.all(tgt < jnp.asarray(extent), axis=-1)
         if kernel_size == 3:
@@ -125,17 +130,13 @@ def build_subm_rulebook(
             base = (
                 (tgt9[..., 0] * ey + tgt9[..., 1]) * ez + tgt9[..., 2]
             )  # lin of the dz=-1 cell; may be -1 at column start
-            # front pad keeps base >= 0 without shifting window slots
-            tpad = jnp.concatenate([
-                jnp.full((1,), -1, jnp.int16), table, jnp.full((2,), -1, jnp.int16),
-            ])
             win = _window_gather(
-                tpad, jnp.clip(base, -1, ex * ey * ez - 1) + 1, 3
+                tpad, jnp.clip(base, -1, tsize - 1) + 1, 3
             )  # (9, V, 3)
             idx = win.transpose(0, 2, 1).reshape(27, v).astype(jnp.int32)
         else:
             tlin = (tgt[..., 0] * ey + tgt[..., 1]) * ez + tgt[..., 2]
-            idx = table[jnp.where(tin, tlin, 0)].astype(jnp.int32)
+            idx = tpad[jnp.where(tin, tlin, 0) + 1].astype(jnp.int32)
         return jnp.where(tin & (idx >= 0), idx, -1)
 
     tgt_key = jnp.where(in_bounds, pack_coords(tgt), KEY_SENTINEL - 1)

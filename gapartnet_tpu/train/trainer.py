@@ -702,16 +702,21 @@ def _apply_auto_capacity(cfg: Config, datasets) -> None:
     """
     if not cfg.data.auto_capacity or cfg.model.backbone_type != "SparseUNet":
         return
-    from gapartnet_tpu.data.capacity import scan_level_capacities
+    from gapartnet_tpu.data.capacity import scan_dataset_shapes
 
-    caps = scan_level_capacities(
+    caps, extent = scan_dataset_shapes(
         [d for d in datasets.values() if d is not None],
         cfg.model.voxel_size,
         len(cfg.model.level_capacity_divisors),
         cfg.model.max_points,
     )
-    cfg.model = dataclasses.replace(cfg.model, level_capacities=caps)
-    print(f"[gapartnet_tpu] auto_capacity: level capacities {caps}", flush=True)
+    cfg.model = dataclasses.replace(
+        cfg.model, level_capacities=caps, input_grid_extent=extent
+    )
+    print(
+        f"[gapartnet_tpu] auto_capacity: level capacities {caps}, "
+        f"grid extent {extent}", flush=True,
+    )
 
 
 def fit(cfg: Config):

@@ -86,3 +86,23 @@ def test_level_capacities_override_divisors():
     assert cfg2.input_capacities() == (1000, 900, 400, 120, 64, 64, 1000)
     with pytest.raises(AssertionError):
         dataclasses.replace(cfg, level_capacities=(5, 5)).input_capacities()
+
+
+def test_scan_dataset_shapes_extent(npz_dir):
+    from gapartnet_tpu.data.capacity import scan_dataset_shapes
+
+    ds = GAPartNetDataset(npz_dir, max_points=500)
+    caps, extent = scan_dataset_shapes(
+        [ds], (0.01, 0.01, 0.01), 3, 500, extent_round_to=8, headroom=1.0
+    )
+    assert len(extent) == 3
+    # extent bounds every cloud's span, rounded to 8
+    for i in range(len(ds)):
+        item = ds[i]
+        xyz = item["points"][item["point_mask"]][:, :3]
+        vox = np.floor((xyz - xyz.min(0)) / 0.01).astype(np.int64)
+        span = vox.max(0) + 1
+        assert all(int(s) <= e for s, e in zip(span, extent)), (span, extent)
+    assert all(e % 8 == 0 for e in extent)
+    # the flat surface patch is thin in z: the fitted extent must be too
+    assert extent[2] < extent[0]

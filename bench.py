@@ -36,6 +36,35 @@ WARMUP = 2
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 
 
+def real_cloud_setup(cfg, cloud_path: str, batch_size: int):
+    """(cfg with data-fitted capacities/extent, tiled PointCloudBatch)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gapartnet_tpu.data.capacity import _counts_and_span
+    from gapartnet_tpu.structures import PointCloudBatch
+
+    d = np.load(cloud_path)
+    pts = np.concatenate([d["xyz"], d["rgb"]], axis=1).astype(np.float32)
+    counts, span = _counts_and_span(
+        pts[:, :3].astype(np.float64), cfg.voxel_size,
+        len(cfg.level_capacity_divisors))
+    caps = tuple(
+        min(max(-(-int(c * 1.08) // 128) * 128, 64), cfg.max_points)
+        for c in counts)
+    extent = tuple(max(-(-int(s * 1.08) // 16) * 16, 32) for s in span)
+    cfg = dataclasses.replace(
+        cfg, level_capacities=caps, input_grid_extent=extent)
+    batch = PointCloudBatch(
+        points=jnp.asarray(np.tile(pts[None], (batch_size, 1, 1))),
+        point_mask=jnp.ones((batch_size, cfg.max_points), bool),
+        pc_ids=["bench"] * batch_size,
+    )
+    return cfg, batch
+
+
 def main():
     import jax
     import numpy as np
@@ -52,29 +81,7 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "assets", "bench_cloud.npz")
     use_real = os.path.exists(cloud_path) and not os.environ.get("BENCH_SYNTHETIC")
     if use_real:
-        import dataclasses
-
-        import jax.numpy as jnp
-
-        from gapartnet_tpu.data.capacity import _counts_and_span
-        from gapartnet_tpu.structures import PointCloudBatch
-
-        d = np.load(cloud_path)
-        pts = np.concatenate([d["xyz"], d["rgb"]], axis=1).astype(np.float32)
-        counts, span = _counts_and_span(
-            pts[:, :3].astype(np.float64), cfg.voxel_size,
-            len(cfg.level_capacity_divisors))
-        caps = tuple(
-            min(max(-(-int(c * 1.08) // 128) * 128, 64), cfg.max_points)
-            for c in counts)
-        extent = tuple(max(-(-int(s * 1.08) // 16) * 16, 32) for s in span)
-        cfg = dataclasses.replace(
-            cfg, level_capacities=caps, input_grid_extent=extent)
-        batch = PointCloudBatch(
-            points=jnp.asarray(np.tile(pts[None], (BATCH_SIZE, 1, 1))),
-            point_mask=jnp.ones((BATCH_SIZE, cfg.max_points), bool),
-            pc_ids=["bench"] * BATCH_SIZE,
-        )
+        cfg, batch = real_cloud_setup(cfg, cloud_path, BATCH_SIZE)
     model = GAPartNet(cfg)
     if not use_real:
         batch = g._make_batch(cfg.max_points, BATCH_SIZE, cfg.max_instances, seed=0)

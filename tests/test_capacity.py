@@ -106,3 +106,25 @@ def test_scan_dataset_shapes_extent(npz_dir):
     assert all(e % 8 == 0 for e in extent)
     # the flat surface patch is thin in z: the fitted extent must be too
     assert extent[2] < extent[0]
+
+
+def test_bench_real_cloud_setup():
+    """The committed bench asset must produce a consistent fitted config and
+    a full-occupancy batch (20000 real points, no padding)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+
+    cfg = GAPartNetConfig()
+    path = Path(bench.__file__).parent / "assets" / "bench_cloud.npz"
+    cfg2, batch = bench.real_cloud_setup(cfg, str(path), 2)
+    assert batch.points.shape == (2, 20000, 6)
+    assert bool(batch.point_mask.all())
+    caps = cfg2.input_capacities()
+    # real surface: level-1 occupancy well above half of level 0
+    assert caps[1] > 10000, caps
+    assert caps[0] == 20000
+    # fitted extent is tighter than the conservative 288^3 default
+    assert all(32 <= e < 288 for e in cfg2.input_grid_extent)

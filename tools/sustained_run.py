@@ -96,6 +96,15 @@ def main():
     ap.add_argument("--workdir", default="runs/sustained_r3")
     ap.add_argument("--data", default="/tmp/sustained_data")
     ap.add_argument("--skip-render", action="store_true")
+    ap.add_argument(
+        "--extend", type=int, default=0, metavar="EPOCHS",
+        help="phase 3: resume from <workdir>/checkpoints/last and train on "
+        "to EPOCHS total (eval every 5), then re-test — 52 steps of phases "
+        "1+2 cross both stage transitions but underfit the sem head "
+        "(salt-and-pepper part predictions, so no cluster reaches the "
+        "5-point minimum and AP stays 0); the continuation trains to "
+        "nonzero AP on the held-out views",
+    )
     args = ap.parse_args()
 
     import jax
@@ -107,10 +116,29 @@ def main():
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
     root = Path(args.data)
-    if not args.skip_render:
-        build_dataset(root)
 
     from gapartnet_tpu.train import trainer as T
+
+    if args.extend:
+        last = workdir / "checkpoints" / "last"
+        assert last.exists(), last
+        cfg = make_cfg(root, workdir, max_epochs=args.extend,
+                       log_name="fit_phase3.jsonl")
+        cfg.trainer.ckpt_path = str(last)
+        cfg.trainer.val_every_n_epochs = 5
+        T.fit(cfg)
+        cfg3 = make_cfg(root, workdir, max_epochs=args.extend,
+                        log_name="test.jsonl")
+        cfg3.trainer.resume_ckpt = str(last)
+        metrics = T.test(cfg3)
+        (workdir / "test_metrics.json").write_text(
+            json.dumps({k: float(v) for k, v in metrics.items()}, indent=1)
+        )
+        print("sustained extension complete:", workdir, flush=True)
+        return
+
+    if not args.skip_render:
+        build_dataset(root)
 
     # phase 1: epochs 0-7 (crosses the epoch-5 scorenet transition)
     cfg = make_cfg(root, workdir, max_epochs=8, log_name="fit_phase1.jsonl")

@@ -15,6 +15,31 @@ import numpy as np
 from flax import struct
 
 
+class HostList(list):
+    """Host-side metadata list that is invisible to jit caching.
+
+    Non-pytree-node fields participate in pytree treedef equality, so a plain
+    per-batch id list gives every batch a distinct treedef: each real-data
+    train/eval step then misses the jit cache and pays a full retrace plus an
+    XLA persistent-cache deserialization (~20 s/step measured on the
+    single-core tunnel host — the sustained run spent 98% of its epoch time
+    there).  All HostList instances compare equal, so ids ride along for
+    host-side consumers (visualization, logging) without ever splitting the
+    trace cache.
+    """
+
+    __slots__ = ()
+
+    def __eq__(self, other):
+        return isinstance(other, HostList)
+
+    def __ne__(self, other):
+        return not isinstance(other, HostList)
+
+    def __hash__(self):
+        return 0
+
+
 @struct.dataclass
 class PointCloudBatch:
     """A batch of padded point clouds.

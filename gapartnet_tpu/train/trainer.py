@@ -28,7 +28,7 @@ from gapartnet_tpu.constants import PART_ID2NAME
 from gapartnet_tpu.data.loader import GAPartNetDataset, collate
 from gapartnet_tpu.eval.ap import APEvaluator, select_eval_proposals
 from gapartnet_tpu.models.gapartnet import GAPartNet, GAPartNetConfig
-from gapartnet_tpu.structures import PointCloudBatch
+from gapartnet_tpu.structures import HostList, PointCloudBatch
 from gapartnet_tpu.train.config import Config
 from gapartnet_tpu.train.loop import (
     TrainState,
@@ -87,7 +87,11 @@ class MetricLogger:
 def _np_batch_to_device(raw: dict, mesh=None) -> PointCloudBatch:
     ids = raw.get("pc_ids")
     arrays = {k: jnp.asarray(v) for k, v in raw.items() if k != "pc_ids"}
-    batch = PointCloudBatch(**arrays, pc_ids=ids)
+    # HostList: constant-equality wrapper so per-batch ids don't split the
+    # jit trace cache (a distinct treedef per batch = ~20 s cache miss/step)
+    batch = PointCloudBatch(
+        **arrays, pc_ids=HostList(ids) if ids is not None else None
+    )
     if mesh is not None:
         from gapartnet_tpu.parallel.mesh import shard_batch
 
@@ -559,7 +563,7 @@ def _expected_eval_keys(eval_step, state, cfg: Config, do_instance: bool):
 
 def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
                     logger: MetricLogger, step: int, do_instance: bool,
-                    mesh=None):
+                    mesh=None, step_cache: Optional[dict] = None):
     """Validation/test over the three splits; returns the monitor metric.
 
     Metric names follow model.py:694-805/859-1049 exactly.  When a device
@@ -569,8 +573,18 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
     averaged across processes — the reference's `sync_dist=True` mean
     (model.py:609-657).
     """
-    eval_step = make_reduced_eval_step(model, cfg, do_instance)
-    full_step = None  # built lazily, only for visualization batches
+    # re-use jitted step functions across eval calls: a fresh jit wrapper per
+    # call has an empty trace cache, so each per-epoch validation would pay a
+    # retrace + XLA persistent-cache deserialization (tens of seconds on the
+    # single-core tunnel host)
+    if step_cache is None:
+        step_cache = {}
+    if ("reduced", do_instance) not in step_cache:
+        step_cache[("reduced", do_instance)] = make_reduced_eval_step(
+            model, cfg, do_instance
+        )
+    eval_step = step_cache[("reduced", do_instance)]
+    full_step = step_cache.get("full")  # built lazily, only for visualization
     num_classes = cfg.model.num_part_classes
 
     split_stats: Dict[str, Dict[str, float]] = {}
@@ -599,7 +613,7 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
                 and visualized < cfg.trainer.visualize_sample_num
             ):
                 if full_step is None:
-                    full_step = make_eval_step(
+                    full_step = step_cache["full"] = make_eval_step(
                         model, do_cluster=True, do_score=True, do_npcs=True
                     )
                 out = full_step(state, batch)
@@ -774,6 +788,7 @@ def fit(cfg: Config):
 
     ckpts = CkptManager(cfg.trainer.ckpt_dir, cfg.trainer.save_top_k)
     step_fns = {}
+    eval_step_cache: dict = {}
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
         flags = stage_flags(epoch, cfg.trainer.training_schedule)
         key = tuple(sorted(flags.items()))
@@ -825,6 +840,7 @@ def fit(cfg: Config):
             monitor, _ = evaluate_splits(
                 model, state, cfg, datasets, epoch, logger, gstep,
                 do_instance=flags["do_score"], mesh=eval_mesh,
+                step_cache=eval_step_cache,
             )
             ckpts.save(state, epoch, monitor, rng=rng, gstep=gstep)
     return state

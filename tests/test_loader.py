@@ -112,3 +112,38 @@ def test_parallel_loading_deterministic(pth_dir):
                 np.testing.assert_array_equal(a[k], b[k], err_msg=k)
             else:
                 assert a[k] == b[k], k
+
+
+def test_batch_treedef_stable_across_pc_ids(pth_dir):
+    """Per-batch id strings must not split the jit trace cache.
+
+    pc_ids is a non-pytree-node field, so it participates in treedef
+    equality; with a plain list every real-data batch had a distinct treedef
+    and every train/eval step paid a full retrace + XLA persistent-cache
+    deserialization (~20 s/step on the tunnel host).  HostList compares
+    equal regardless of contents, keeping one cache entry for all batches.
+    """
+    import jax
+
+    from gapartnet_tpu.data.loader import GAPartNetDataset
+    from gapartnet_tpu.train.trainer import _np_batch_to_device
+
+    ds = GAPartNetDataset(pth_dir, max_points=200, max_instances=8)
+    b0 = _np_batch_to_device(collate([ds[0]]))
+    b1 = _np_batch_to_device(collate([ds[1]]))
+    assert list(b0.pc_ids)[0] != list(b1.pc_ids)[0]  # genuinely different ids
+    t0 = jax.tree_util.tree_structure(b0)
+    t1 = jax.tree_util.tree_structure(b1)
+    assert t0 == t1
+
+    calls = 0
+
+    @jax.jit
+    def f(batch):
+        nonlocal calls
+        calls += 1
+        return batch.points.sum()
+
+    f(b0)
+    f(b1)
+    assert calls == 1  # second call hits the trace cache

@@ -82,6 +82,15 @@ def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str):
         # real surfaces overflow the synthetic-tuned divisor schedule at the
         # mid levels (measured L1 16.5k vs 10k default) — size from the data
         auto_capacity=True,
+        # augmentation OFF for this 16-cloud few-shot artifact: a controlled
+        # A/B (static vs per-epoch re-augmented batches, trainer's own step)
+        # showed the reference-strength draws (random 3x3 jitter 0.1 + flips
+        # + z-rotations, sane at the reference's 26k-cloud scale) keep the
+        # sem head pinned in the all-background valley for 480+ steps on two
+        # objects, while static batches escape it by step ~160 and reach 73%
+        # foreground accuracy by step 600 (PERF.md round 3).  The artifact's
+        # purpose is e2e instance-pipeline evidence, not generalization.
+        pos_jitter=0.0, color_jitter=0.0, flip_prob=0.0, rotate_prob=0.0,
     )
     trainer = TrainerConfig(
         max_epochs=max_epochs, training_schedule=(5, 10), seed=23333,

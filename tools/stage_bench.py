@@ -7,6 +7,8 @@ Honest tunnel timing: dispatch N iters, then one device->host fetch.
 
     python tools/stage_bench.py            # the ONE TPU process
     BENCH_BATCH=8 python tools/stage_bench.py
+    BENCH_REAL=1 python tools/stage_bench.py   # the committed real-asset
+                                               # cloud bench.py measures
 """
 
 import os
@@ -40,8 +42,18 @@ def main():
             pass
         overrides[k] = v
     cfg = GAPartNetConfig(conv_compute_dtype="bfloat16", **overrides)
+    if os.environ.get("BENCH_REAL"):
+        import bench
+
+        cfg, batch = bench.real_cloud_setup(
+            cfg,
+            str(Path(__file__).resolve().parent.parent
+                / "assets" / "bench_cloud.npz"),
+            BATCH,
+        )
     model = GAPartNet(cfg)
-    batch = g._make_batch(cfg.max_points, BATCH, cfg.max_instances, seed=0)
+    if not os.environ.get("BENCH_REAL"):
+        batch = g._make_batch(cfg.max_points, BATCH, cfg.max_instances, seed=0)
     variables = g.jitted_init(model, batch)
 
     stages = [

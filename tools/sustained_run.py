@@ -32,7 +32,7 @@ ASSETS = [
 N_POINTS = 20000
 
 
-def build_dataset(root: Path):
+def build_dataset(root: Path, n_points: int = N_POINTS):
     import numpy as np
 
     from gapartnet_tpu.datagen import assets
@@ -44,7 +44,7 @@ def build_dataset(root: Path):
             n = assets.render_asset_view(
                 str(asset), str(render_dir), render_idx=ridx,
                 seed=100 * ai + ridx, width=512, height=512,
-                num_surface_samples=200_000, num_points=N_POINTS,
+                num_surface_samples=200_000, num_points=n_points,
             )
             assert n is not None, (asset, ridx)
             names[asset].append(n)
@@ -71,13 +71,14 @@ def build_dataset(root: Path):
             )
 
 
-def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str):
+def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str,
+             n_points: int = N_POINTS):
     from gapartnet_tpu.train.config import Config, DataConfig, TrainerConfig
     from gapartnet_tpu.models.gapartnet import GAPartNetConfig
 
-    model = GAPartNetConfig(conv_compute_dtype="bfloat16")
+    model = GAPartNetConfig(conv_compute_dtype="bfloat16", max_points=n_points)
     data = DataConfig(
-        root_dir=str(root), max_points=N_POINTS, train_batch_size=4,
+        root_dir=str(root), max_points=n_points, train_batch_size=4,
         val_batch_size=4, num_workers=2, max_instances=model.max_instances,
         # real surfaces overflow the synthetic-tuned divisor schedule at the
         # mid levels (measured L1 16.5k vs 10k default) — size from the data
@@ -106,6 +107,11 @@ def main():
     ap.add_argument("--data", default="/tmp/sustained_data")
     ap.add_argument("--skip-render", action="store_true")
     ap.add_argument(
+        "--points", type=int, default=N_POINTS,
+        help="point budget per cloud (20000 = flagship envelope; smaller "
+        "values make a CPU-feasible fallback when the TPU tunnel is down)",
+    )
+    ap.add_argument(
         "--extend", type=int, default=0, metavar="EPOCHS",
         help="phase 3: resume from <workdir>/checkpoints/last and train on "
         "to EPOCHS total (eval every 5), then re-test — 52 steps of phases "
@@ -132,12 +138,12 @@ def main():
         last = workdir / "checkpoints" / "last"
         assert last.exists(), last
         cfg = make_cfg(root, workdir, max_epochs=args.extend,
-                       log_name="fit_phase3.jsonl")
+                       log_name="fit_phase3.jsonl", n_points=args.points)
         cfg.trainer.ckpt_path = str(last)
         cfg.trainer.val_every_n_epochs = 5
         T.fit(cfg)
         cfg3 = make_cfg(root, workdir, max_epochs=args.extend,
-                        log_name="test.jsonl")
+                        log_name="test.jsonl", n_points=args.points)
         cfg3.trainer.resume_ckpt = str(last)
         metrics = T.test(cfg3)
         (workdir / "test_metrics.json").write_text(
@@ -147,10 +153,11 @@ def main():
         return
 
     if not args.skip_render:
-        build_dataset(root)
+        build_dataset(root, n_points=args.points)
 
     # phase 1: epochs 0-7 (crosses the epoch-5 scorenet transition)
-    cfg = make_cfg(root, workdir, max_epochs=8, log_name="fit_phase1.jsonl")
+    cfg = make_cfg(root, workdir, max_epochs=8, log_name="fit_phase1.jsonl",
+                   n_points=args.points)
     T.fit(cfg)
 
     # phase 2: full resume from the always-saved `last` checkpoint (epoch 7)
@@ -159,12 +166,14 @@ def main():
     # flat at 0 early, top-k keeps the earliest ties, not the newest epoch.
     last = Path(cfg.trainer.ckpt_dir) / "last"
     assert last.exists(), list(Path(cfg.trainer.ckpt_dir).iterdir())
-    cfg2 = make_cfg(root, workdir, max_epochs=13, log_name="fit_phase2.jsonl")
+    cfg2 = make_cfg(root, workdir, max_epochs=13, log_name="fit_phase2.jsonl",
+                    n_points=args.points)
     cfg2.trainer.ckpt_path = str(last)
     T.fit(cfg2)
 
     # test from the newest checkpoint
-    cfg3 = make_cfg(root, workdir, max_epochs=13, log_name="test.jsonl")
+    cfg3 = make_cfg(root, workdir, max_epochs=13, log_name="test.jsonl",
+                    n_points=args.points)
     cfg3.trainer.resume_ckpt = str(last)
     metrics = T.test(cfg3)
     (workdir / "test_metrics.json").write_text(

@@ -104,9 +104,16 @@ class Prefetcher:
 
     thread drains the (already worker-parallel, see _iter_batches) batch
     generator into a bounded queue so the next batch is collated while the
-    device crunches the current one."""
+    device crunches the current one.
 
-    def __init__(self, gen, depth: int = 2):
+    `transform` (if given) also runs in the producer thread — passing
+    `_np_batch_to_device` there starts the host->device transfer of batch
+    N+1 while the device computes batch N.  Through the remote tunnel the
+    upload runs at ~12 MB/s (PERF.md), so an 8 MB real-data batch costs
+    ~0.7 s when issued synchronously; overlapped, it hides behind the step.
+    jax.device_put is thread-safe and the queue preserves order."""
+
+    def __init__(self, gen, depth: int = 2, transform=None):
         import queue
         import threading
 
@@ -116,9 +123,10 @@ class Prefetcher:
         def run():
             try:
                 for item in gen:
-                    self._q.put(item)
-            finally:
+                    self._q.put(item if transform is None else transform(item))
                 self._q.put(self._done)
+            except BaseException as e:  # re-raised on the consumer side
+                self._q.put(e)
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
@@ -128,6 +136,8 @@ class Prefetcher:
             item = self._q.get()
             if item is self._done:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 
@@ -601,9 +611,11 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
         # cost a full device->host round trip (~150 ms through the remote
         # tunnel), making batched eval round-trip-bound
         pending = []
-        for raw in _iter_batches(ds, cfg.data.val_batch_size, drop_last=False,
-                                 workers=cfg.data.num_workers):
-            batch = _np_batch_to_device(raw, mesh)
+        for batch in Prefetcher(
+            _iter_batches(ds, cfg.data.val_batch_size, drop_last=False,
+                          workers=cfg.data.num_workers),
+            transform=lambda raw: _np_batch_to_device(raw, mesh),
+        ):
             r = eval_step(state, batch)
             pending.append((r, batch.instance_sem_labels))
             batches += 1
@@ -803,10 +815,10 @@ def fit(cfg: Config):
                 datasets["train"], cfg.data.train_batch_size, drop_last=True,
                 shuffle_seed=cfg.trainer.seed + epoch,
                 workers=cfg.data.num_workers,
-            )
+            ),
+            transform=lambda raw: _np_batch_to_device(raw, mesh),
         )
-        for raw in batches:
-            batch = _np_batch_to_device(raw, mesh)
+        for batch in batches:
             rng, sub = jax.random.split(rng)
             state, m = train_step(state, batch, sub)
             losses.append(m)

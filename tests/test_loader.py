@@ -147,3 +147,38 @@ def test_batch_treedef_stable_across_pc_ids(pth_dir):
     f(b0)
     f(b1)
     assert calls == 1  # second call hits the trace cache
+
+
+def test_prefetcher_order_transform_and_errors():
+    from gapartnet_tpu.train.trainer import Prefetcher
+
+    # order + transform run in the producer thread
+    out = list(Prefetcher(iter(range(10)), transform=lambda x: x * 2))
+    assert out == [2 * i for i in range(10)]
+
+    # a transform exception propagates to the consumer (instead of silently
+    # truncating the epoch) and items before it still arrive in order
+    def boom(x):
+        if x == 3:
+            raise ValueError("bad batch")
+        return x
+
+    got, err = [], None
+    try:
+        for item in Prefetcher(iter(range(10)), transform=boom):
+            got.append(item)
+    except ValueError as e:
+        err = e
+    assert got == [0, 1, 2]
+    assert err is not None and "bad batch" in str(err)
+
+    # a generator exception propagates too
+    def gen():
+        yield 1
+        raise RuntimeError("source died")
+
+    try:
+        list(Prefetcher(gen()))
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "source died" in str(e)

@@ -65,7 +65,41 @@ def real_cloud_setup(cfg, cloud_path: str, batch_size: int):
     return cfg, batch
 
 
+LKG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_LKG.json")
+
+
+def _device_reachable(timeout_s: int = 150) -> bool:
+    """Probe the (possibly tunneled) default backend in a subprocess.
+
+    The remote-TPU tunnel HANGS on outage instead of erroring (observed
+    2026-08-17, hours-long), so an in-process jax.devices() would wedge the
+    driver's bench run; a bounded subprocess probe fails fast instead.
+    """
+    import subprocess
+
+    code = ("import jax, numpy as np, jax.numpy as jnp;"
+            "jax.devices(); np.asarray(jnp.ones((8,)).sum())")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_reachable():
+        # device down: re-emit the last measured result, clearly marked
+        # stale, rather than hanging or reporting nothing
+        if os.path.exists(LKG_PATH):
+            lkg = json.load(open(LKG_PATH))
+            lkg["stale"] = True
+            lkg["note"] = "device unreachable at bench time; last-known-good shown"
+            print(json.dumps(lkg))
+            return
+        raise SystemExit("device unreachable and no last-known-good result")
+
     import jax
     import numpy as np
 
@@ -112,17 +146,19 @@ def main():
     dt = time.perf_counter() - t0
 
     clouds_per_sec = BATCH_SIZE * ITERS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_inference_throughput",
-                "value": round(clouds_per_sec, 2),
-                "unit": "point_clouds/sec/chip",
-                "vs_baseline": round(clouds_per_sec / A100_BASELINE_CLOUDS_PER_SEC, 3),
-                "input": "real_asset_45780" if use_real else "synthetic",
-            }
-        )
-    )
+    result = {
+        "metric": "e2e_inference_throughput",
+        "value": round(clouds_per_sec, 2),
+        "unit": "point_clouds/sec/chip",
+        "vs_baseline": round(clouds_per_sec / A100_BASELINE_CLOUDS_PER_SEC, 3),
+        "input": "real_asset_45780" if use_real else "synthetic",
+    }
+    print(json.dumps(result))
+    # refresh the last-known-good record (the outage fallback above), but
+    # only for the default configuration the driver runs
+    if use_real and BATCH_SIZE == 1 and "BENCH_ITERS" not in os.environ:
+        with open(LKG_PATH, "w") as f:
+            json.dump(result, f)
 
 
 if __name__ == "__main__":

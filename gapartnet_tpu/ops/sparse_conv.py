@@ -162,7 +162,19 @@ class DownsampleMap(NamedTuple):
 
 @partial(jax.jit, static_argnames=("out_capacity",))
 def build_downsample(keys: jnp.ndarray, out_capacity: int) -> DownsampleMap:
-    """Stride-2 kernel-2 downsample geometry for one sample."""
+    """Stride-2 kernel-2 downsample geometry for one sample.
+
+    The argsort below is REQUIRED even though `keys` arrive sorted: per-axis
+    `>> 1` is monotone componentwise but does NOT preserve lexicographic
+    order under x-major packing — children (0,0,7) < (0,1,4) halve to parents
+    (0,0,3) > (0,0,2).  Morton (bit-interleaved) keys would make the parent
+    map `key >> 3` (monotone, sort-free), but Morton breaks the z-window
+    slice-gather in `_gather_taps_windowed`, which relies on the three
+    (dz=-1,0,1) neighbor KEYS being numerically consecutive so the existing
+    ones occupy consecutive ranks — a far bigger win than these six sorts
+    (gathers are row-rate-bound; see PERF.md).  Tested against a sort oracle
+    in test_sparse_conv.test_downsample_sortfree_matches_sort_oracle.
+    """
     valid = keys != KEY_SENTINEL
     coords = unpack_key(keys)
     parent_coords = coords >> 1

@@ -155,3 +155,32 @@ def test_build_hierarchy_shapes(rng):
     nv1 = np.asarray(h.levels[1].num_voxels)
     nv2 = np.asarray(h.levels[2].num_voxels)
     assert (nv1 <= nv0).all() and (nv2 <= nv1).all() and (nv2 > 0).all()
+
+
+def test_downsample_sortfree_matches_sort_oracle(rng):
+    """Sort-oracle parity for build_downsample, including capacity overflow.
+
+    Regression guard for the lex-order pitfall: per-axis >>1 does NOT
+    preserve x-major key order (children (0,0,7) < (0,1,4) halve to parents
+    (0,0,3) > (0,0,2)), so the dedup argsort cannot be elided.  This test
+    caught exactly that attempted 'optimization'."""
+    for na, cap, out_cap, grid in ((40, 64, 32, 8), (200, 256, 16, 16),
+                                   (500, 512, 64, 32)):
+        keys, coords = _make_grid(rng, na, cap, grid=grid)
+        ds = build_downsample(jnp.asarray(keys), out_cap)
+
+        pk = np.where(keys[:na] != KEY_SENTINEL,
+                      (coords[:, 0] >> 1) << 20 | (coords[:, 1] >> 1) << 10
+                      | (coords[:, 2] >> 1), KEY_SENTINEL)
+        uniq = np.unique(pk)
+        kept = uniq[:out_cap]
+        assert int(ds.out_num_voxels) == min(len(uniq), out_cap)
+        assert int(ds.num_dropped) == max(0, len(uniq) - out_cap)
+        got_keys = np.asarray(ds.out_keys)
+        np.testing.assert_array_equal(got_keys[: len(kept)], kept)
+        assert np.all(got_keys[len(kept):] == KEY_SENTINEL)
+        # child -> parent rank agrees with searchsorted into the kept keys
+        cp = np.asarray(ds.child_parent)[:na]
+        want = np.searchsorted(kept, pk)
+        in_kept = (want < len(kept)) & (kept[np.minimum(want, len(kept) - 1)] == pk)
+        np.testing.assert_array_equal(cp, np.where(in_kept, want, -1))

@@ -320,6 +320,51 @@ def _subm_conv_bwd(res, g):
 _subm_conv.defvjp(_subm_conv_fwd, _subm_conv_bwd)
 
 
+@jax.custom_vjp
+def _subm_conv_sg(features, nbr, weights):
+    return _subm_conv_forward(features, nbr, weights)
+
+
+def _subm_conv_sg_fwd(features, nbr, weights):
+    # save-gather variant: keep the forward's (B, V, 27*Cin) windowed gather
+    # as the residual so dW needs NO regather in backward (d_feats still costs
+    # one conv on g, which is unavoidable).  Trades ~27x the activation HBM of
+    # the regather VJP for one fewer V-row gather per conv per backward —
+    # worth it only while the batch fits; opt-in via GAPARTNET_SUBM_SAVE_GATHER.
+    k, cin, cout = weights.shape
+    gathered = jax.vmap(_gather_taps_windowed)(features, nbr)  # k == 27 only
+    out = jax.lax.dot_general(
+        gathered, weights.reshape(k * cin, cout),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out, (gathered, nbr, weights)
+
+
+def _subm_conv_sg_bwd(res, g):
+    gathered, nbr, weights = res
+    k, cin, cout = weights.shape
+    g = g.astype(gathered.dtype)
+    w_rev_t = jnp.flip(weights, axis=0).transpose(0, 2, 1)
+    d_feats = _subm_conv_forward(g, nbr, w_rev_t).astype(gathered.dtype)
+    d_w = jax.lax.dot_general(
+        gathered, g,
+        dimension_numbers=(((0, 1), (0, 1)), ((), ())),    # contract B and V
+        preferred_element_type=jnp.float32,
+    ).reshape(k, cin, cout).astype(weights.dtype)
+    return d_feats, None, d_w
+
+
+_subm_conv_sg.defvjp(_subm_conv_sg_fwd, _subm_conv_sg_bwd)
+
+
+def _save_gather_enabled() -> bool:
+    """Opt-in A/B switch for the save-gather VJP (read at trace time)."""
+    import os
+
+    return os.environ.get("GAPARTNET_SUBM_SAVE_GATHER", "0") not in ("", "0")
+
+
 def subm_conv_apply(
     features: jnp.ndarray,  # (B, V, Cin)
     nbr: jnp.ndarray,       # (B, K, V)
@@ -330,6 +375,8 @@ def subm_conv_apply(
     if compute_dtype is not None:
         features = features.astype(compute_dtype)
         weights = weights.astype(compute_dtype)
+    if weights.shape[0] == 27 and _save_gather_enabled():
+        return _subm_conv_sg(features, nbr, weights)
     return _subm_conv(features, nbr, weights)
 
 

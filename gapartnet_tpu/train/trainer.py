@@ -824,6 +824,10 @@ def fit(cfg: Config):
             losses.append(m)
             gstep += 1
         if losses:
+            # ONE batched transfer for the whole epoch's metric dicts: a
+            # per-key float() here would cost a ~150 ms tunnel round trip per
+            # scalar (keys x batches fetches), dwarfing the steps themselves
+            losses = jax.device_get(losses)
             mean = {
                 "train_" + k if not k.startswith("loss") else f"train_loss/{k.split('/')[-1]}":
                     float(np.mean([float(x[k]) for x in losses]))

@@ -58,6 +58,10 @@ class GAPartNetConfig:
     # semantic losses
     ignore_sem_label: int = -100
     use_sem_focal_loss: bool = True
+    # optional per-class focal weights (reference losses.py:38 `alpha`; its
+    # config ships None).  Few-shot runs use inverse-frequency weights to
+    # escape the all-background valley (PERF.md round 3).
+    sem_focal_alpha: Optional[Tuple[float, ...]] = None
     use_sem_dice_loss: bool = True
     # symmetry (gapartnet.yaml:34)
     symmetry_indices: Tuple[int, ...] = SYMMETRY_INDICES
@@ -309,6 +313,7 @@ class GAPartNet(nn.Module):
                 loss_sem = L.focal_loss(
                     flat_logits, flat_labels, flat_mask,
                     gamma=2.0, ignore_index=cfg.ignore_sem_label,
+                    alpha=cfg.sem_focal_alpha,
                 )
             else:
                 valid = flat_mask & (flat_labels != cfg.ignore_sem_label)

@@ -20,13 +20,26 @@ def focal_loss(
     mask: jnp.ndarray,        # (M,) bool
     gamma: float = 2.0,
     ignore_index: int = -100,
+    alpha=None,               # optional (C,) per-class weights
 ) -> jnp.ndarray:
-    """Multi-class focal loss, mean over valid targets (losses.py:35-64)."""
+    """Multi-class focal loss, mean over valid targets (losses.py:35-64).
+
+    `alpha` matches the reference exactly: losses.py:38,53-55 passes it as
+    the `weight` of a reduction="none" nll_loss, so it scales each sample's
+    CE by alpha[target] while the final .mean() denominator stays the plain
+    valid count (NOT the weighted count torch would use under
+    reduction="mean").  The reference config ships alpha=None; nonzero
+    weights are used by the few-shot artifact runs (tools/sustained_run.py)
+    where the 90%-background class imbalance otherwise traps the sem head
+    in the all-background valley.
+    """
     valid = mask & (targets != ignore_index)
     t = jnp.clip(targets, 0, logits.shape[-1] - 1)
     log_p = jax.nn.log_softmax(logits, axis=-1)
     log_p_t = jnp.take_along_axis(log_p, t[:, None], axis=-1)[:, 0]
     ce = -log_p_t
+    if alpha is not None:
+        ce = ce * jnp.asarray(alpha, logits.dtype)[t]
     loss = ce * (1.0 - jnp.exp(log_p_t)) ** gamma
     loss = jnp.where(valid, loss, 0.0)
     cnt = jnp.maximum(valid.sum(), 1)

@@ -174,3 +174,33 @@ def test_mean_iou_perfect_and_mixed(rng):
     )
     # class0: 1/1; class1: 1/2; class2: 1/2 -> mean 2/3
     np.testing.assert_allclose(got2, 2 / 3, atol=1e-6)
+
+
+def test_focal_loss_alpha_matches_torch(rng):
+    """alpha semantics == reference losses.py:53-55: nll_loss weight scales
+    each sample's CE, but the final .mean() denominator stays the plain
+    valid count (reduction='none' then .mean())."""
+    import jax.numpy as jnp
+
+    from gapartnet_tpu.models.losses import focal_loss
+
+    m, c = 200, 10
+    logits = rng.randn(m, c).astype("float32")
+    targets = rng.randint(0, c, size=m)
+    targets[rng.rand(m) < 0.1] = -100
+    alpha = (rng.rand(c).astype("float32") + 0.1)
+
+    t = torch.as_tensor(targets, dtype=torch.int64)
+    x = torch.as_tensor(logits)
+    valid = t != -100
+    tv, xv = t[valid], x[valid]
+    log_p = F.log_softmax(xv, dim=-1)
+    ce = F.nll_loss(log_p, tv, weight=torch.as_tensor(alpha), reduction="none")
+    log_p_t = log_p.gather(1, tv[:, None]).squeeze(-1)
+    want = float((ce * (1 - log_p_t.exp()) ** 2.0).mean())
+
+    got = float(focal_loss(
+        jnp.asarray(logits), jnp.asarray(targets),
+        jnp.ones((m,), bool), gamma=2.0, alpha=tuple(alpha.tolist()),
+    ))
+    assert abs(got - want) < 1e-5

@@ -72,11 +72,24 @@ def build_dataset(root: Path, n_points: int = N_POINTS):
 
 
 def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str,
-             n_points: int = N_POINTS):
+             n_points: int = N_POINTS, sem_alpha: float = 0.0):
     from gapartnet_tpu.train.config import Config, DataConfig, TrainerConfig
     from gapartnet_tpu.models.gapartnet import GAPartNetConfig
 
-    model = GAPartNetConfig(conv_compute_dtype="bfloat16", max_points=n_points)
+    # sem_alpha > 0: class-balanced focal (reference losses.py:38 `alpha`,
+    # background weighted sem_alpha, parts 1.0).  The reference recipe
+    # (alpha=None) is tuned for its 26k-cloud dataset; on a 16-view few-shot
+    # set the ~90% background fraction is an attractor the sem head provably
+    # sinks into — margin diagnostics on the collapsed 4096-pt run show the
+    # correct-class-vs-background logit margin on foreground points FALLING
+    # from -0.81 (epoch 12) to -1.92 (epoch 49) with foreground predictions
+    # ~0.05% (PERF.md round 3).
+    model = GAPartNetConfig(
+        conv_compute_dtype="bfloat16", max_points=n_points,
+        sem_focal_alpha=(
+            (sem_alpha,) + (1.0,) * 9 if sem_alpha > 0 else None
+        ),
+    )
     data = DataConfig(
         root_dir=str(root), max_points=n_points, train_batch_size=4,
         val_batch_size=4, num_workers=2, max_instances=model.max_instances,
@@ -112,6 +125,14 @@ def main():
         "values make a CPU-feasible fallback when the TPU tunnel is down)",
     )
     ap.add_argument(
+        "--sem-alpha", type=float, default=0.0, metavar="W",
+        help="background class weight for the focal loss (reference "
+        "losses.py:38 alpha; parts stay 1.0).  0 = reference default "
+        "(alpha=None).  Few-shot sets need ~0.1: the 90%%-background "
+        "imbalance otherwise traps the sem head in the all-background "
+        "valley (measured margin divergence, PERF.md round 3)",
+    )
+    ap.add_argument(
         "--extend", type=int, default=0, metavar="EPOCHS",
         help="phase 3: resume from <workdir>/checkpoints/last and train on "
         "to EPOCHS total (eval every 5), then re-test — 52 steps of phases "
@@ -138,12 +159,14 @@ def main():
         last = workdir / "checkpoints" / "last"
         assert last.exists(), last
         cfg = make_cfg(root, workdir, max_epochs=args.extend,
-                       log_name="fit_phase3.jsonl", n_points=args.points)
+                       log_name="fit_phase3.jsonl", n_points=args.points,
+                   sem_alpha=args.sem_alpha)
         cfg.trainer.ckpt_path = str(last)
         cfg.trainer.val_every_n_epochs = 5
         T.fit(cfg)
         cfg3 = make_cfg(root, workdir, max_epochs=args.extend,
-                        log_name="test.jsonl", n_points=args.points)
+                        log_name="test.jsonl", n_points=args.points,
+                   sem_alpha=args.sem_alpha)
         cfg3.trainer.resume_ckpt = str(last)
         metrics = T.test(cfg3)
         (workdir / "test_metrics.json").write_text(
@@ -153,11 +176,13 @@ def main():
         return
 
     if not args.skip_render:
-        build_dataset(root, n_points=args.points)
+        build_dataset(root, n_points=args.points,
+                   sem_alpha=args.sem_alpha)
 
     # phase 1: epochs 0-7 (crosses the epoch-5 scorenet transition)
     cfg = make_cfg(root, workdir, max_epochs=8, log_name="fit_phase1.jsonl",
-                   n_points=args.points)
+                   n_points=args.points,
+                   sem_alpha=args.sem_alpha)
     T.fit(cfg)
 
     # phase 2: full resume from the always-saved `last` checkpoint (epoch 7)
@@ -167,13 +192,15 @@ def main():
     last = Path(cfg.trainer.ckpt_dir) / "last"
     assert last.exists(), list(Path(cfg.trainer.ckpt_dir).iterdir())
     cfg2 = make_cfg(root, workdir, max_epochs=13, log_name="fit_phase2.jsonl",
-                    n_points=args.points)
+                    n_points=args.points,
+                   sem_alpha=args.sem_alpha)
     cfg2.trainer.ckpt_path = str(last)
     T.fit(cfg2)
 
     # test from the newest checkpoint
     cfg3 = make_cfg(root, workdir, max_epochs=13, log_name="test.jsonl",
-                    n_points=args.points)
+                    n_points=args.points,
+                   sem_alpha=args.sem_alpha)
     cfg3.trainer.resume_ckpt = str(last)
     metrics = T.test(cfg3)
     (workdir / "test_metrics.json").write_text(

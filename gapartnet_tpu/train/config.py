@@ -78,6 +78,7 @@ _MODEL_KEY_MAP = {
     "num_part_classes": "num_part_classes",
     "ignore_sem_label": "ignore_sem_label",
     "use_sem_focal_loss": "use_sem_focal_loss",
+    "sem_focal_alpha": "sem_focal_alpha",
     "use_sem_dice_loss": "use_sem_dice_loss",
     "symmetry_indices": "symmetry_indices",
     "val_score_threshold": "val_score_threshold",

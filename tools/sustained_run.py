@@ -176,8 +176,7 @@ def main():
         return
 
     if not args.skip_render:
-        build_dataset(root, n_points=args.points,
-                   sem_alpha=args.sem_alpha)
+        build_dataset(root, n_points=args.points)
 
     # phase 1: epochs 0-7 (crosses the epoch-5 scorenet transition)
     cfg = make_cfg(root, workdir, max_epochs=8, log_name="fit_phase1.jsonl",

@@ -124,3 +124,79 @@ def scan_dataset_shapes(
         tuple(int(c) for c in caps),
         (int(ext[0]), int(ext[1]), int(ext[2])),
     )
+
+
+def _hash_occupancy(xyz: np.ndarray, labels: np.ndarray, radius: float):
+    """(node count, max same-label candidates over the 62 positive probe
+    offsets) of one clustered point set — the quantities that size the
+    hash-CCL tables (ops/hash_ccl.py)."""
+    if len(xyz) == 0:
+        return 0, 0
+    s = radius / np.sqrt(3.0)
+    cell = np.floor((xyz - xyz.min(0) + s) / s).astype(np.int64)
+    key = ((cell[:, 0] << 34) + (cell[:, 1] << 17) + cell[:, 2]) * 16 + labels
+    uniq = np.unique(key)
+    lab = uniq % 16
+    ck = uniq // 16
+    cz, cy, cx = ck & 0x1FFFF, (ck >> 17) & 0x1FFFF, ck >> 34
+    cand = np.zeros(len(uniq), np.int64)
+    for dx in range(-2, 3):
+        for dy in range(-2, 3):
+            for dz in range(-2, 3):
+                if (dx, dy, dz) <= (0, 0, 0):
+                    continue
+                tk = (((cx + dx) << 34) + ((cy + dy) << 17) + (cz + dz)) * 16 + lab
+                cand += np.isin(tk, uniq, assume_unique=True)
+    return len(uniq), int(cand.max(initial=0))
+
+
+def scan_hash_capacities(
+    datasets: Iterable,
+    radius: float,
+    *,
+    fg_headroom: float = 1.5,
+    cand_margin: int = 8,
+    round_to: int = 256,
+    max_samples: int = 48,
+    max_points: int = 20000,
+) -> Tuple[int, int]:
+    """Size the hash-CCL clustering tables from the data.
+
+    Returns (hash_node_capacity PER SET, cand/degree cap):
+
+    * node capacity: the node count is bounded by the clustered point count
+      per set regardless of label noise (each point occupies at most one
+      (cell, label) node), so the label-noise-proof budget is the maximum
+      foreground point count x `fg_headroom` (trained sem heads overpredict
+      foreground modestly; overflow stays loudly counted either way).  The
+      measured gt-label node count is also folded in as a floor.
+    * cand cap: max same-label candidates over the 62 positive probe
+      offsets, measured with GT labels (the upper bound: label noise only
+      fragments same-label neighborhoods) + `cand_margin`, clamped to 62.
+      Callers should set hash_max_degree to the same value so no capacity
+      in the clustering path drops edges silently.
+    """
+    max_fg = 0
+    max_nodes = 0
+    max_cand = 0
+    for ds in datasets:
+        if ds is None or len(ds) == 0:
+            continue
+        idxs = np.unique(
+            np.linspace(0, len(ds) - 1, min(len(ds), max_samples)).astype(int)
+        )
+        for i in idxs:
+            item = ds[int(i)]
+            mask = item["point_mask"]
+            sem = item["sem_labels"][mask]
+            xyz = item["points"][mask][:, :3]
+            fg = sem > 0
+            max_fg = max(max_fg, int(fg.sum()))
+            n_nodes, cmax = _hash_occupancy(xyz[fg], sem[fg], radius)
+            max_nodes = max(max_nodes, n_nodes)
+            max_cand = max(max_cand, cmax)
+    node_cap = int(np.ceil(max(max_fg * fg_headroom, max_nodes) / round_to))
+    node_cap = min(max(node_cap * round_to, 256), max_points)
+    cand_cap = min(max_cand + cand_margin, 62)
+    cand_cap = ((cand_cap + 3) // 4) * 4  # hash_ccl chunks offsets in fours
+    return node_cap, cand_cap

@@ -74,12 +74,27 @@ class GAPartNetConfig:
     # (reference first-K semantics; O(N^2), for parity testing)
     clustering_impl: str = "hash"
     # (cell, label) node-table capacity PER SET for the hash clustering
-    # (0 = N).  Measured clouds at the reference envelope occupy ~0.8-1.5k
-    # nodes/set (probe/edge/propagation costs all scale with it); overflow
-    # is counted in counters/ccl_node_overflow and asserted zero under
-    # GAPARTNET_CHECKS, so a tight cap fails loudly, not silently — raise it
-    # here if real data ever trips the counter.
+    # (0 = N).  Node count is bounded by the CLUSTERED (predicted-foreground)
+    # point count per set, whatever the label noise — real eval clouds
+    # measure 0.25-5.3k nodes/set at the reference envelope (round-4 probe;
+    # the round-3 2048 default was sized on synthetic blobs and overflowed
+    # by 143-253 nodes on real data).  Overflow is counted in
+    # counters/ccl_node_overflow and asserted zero under GAPARTNET_CHECKS,
+    # so a tight cap fails loudly, not silently.  DataConfig.auto_capacity
+    # sizes this from the data (data/capacity.scan_dataset_shapes measures
+    # foreground occupancy — the label-noise-proof bound).
     hash_node_capacity: int = 2048
+    # same-label candidate cap per node in the hash-CCL half-neighborhood
+    # probe (<= 62 possible; 0 = derive from hash_max_degree as before).
+    # Real clouds measure up to 45 found candidates (gt labels are the upper
+    # bound: label noise only fragments same-label neighborhoods); beyond-cap
+    # candidates lose edges before the distance check and are counted in
+    # counters/ccl_cand_truncated.  auto_capacity sizes this from the data.
+    hash_cand_cap: int = 0
+    # post-distance-check neighbor-table width; connected edges beyond it are
+    # dropped from propagation and folded into ccl_cand_truncated.  Auto-
+    # sizing sets it equal to the sized cand cap (no silent degree drops).
+    hash_max_degree: int = 24
     # conv gather/matmul precision: "float32" or "bfloat16" (f32 accumulate)
     conv_compute_dtype: str = "float32"
     # rematerialize backbone ResBlocks in backward (larger train batches)
@@ -397,6 +412,8 @@ class GAPartNet(nn.Module):
                     # fused-sort membership at batch (the table's HBM
                     # tile-fetch per element scales ~24x B1 -> B8)
                     probe_impl="table" if b == 1 else "sort",
+                    hash_cand_cap=cfg.hash_cand_cap,
+                    hash_max_degree=cfg.hash_max_degree,
                 )
             )(pt_xyz, stop_offsets, sem_preds, cluster_valid)
 

@@ -70,6 +70,8 @@ def cluster_single(
     impl: str = "hash",
     hash_node_capacity: int = 0,
     probe_impl: str = "sort",
+    hash_cand_cap: int = 0,
+    hash_max_degree: int = 24,
 ):
     """One sample; vmap over the batch.  Returns SampleProposals.
 
@@ -99,6 +101,8 @@ def cluster_single(
             node_capacity=2 * hash_node_capacity if hash_node_capacity else 0,
             set_mask=set_mask,
             probe_impl=probe_impl,
+            cand_cap=hash_cand_cap,
+            max_degree=hash_max_degree,
         )
         # labels are min point indices in the 2N space; components never span
         # sets, so set-2 labels map back by -n (invalid selves included)

@@ -285,6 +285,14 @@ def hash_connected_components(
     # (candidates were rank-sorted above, so connected entries are already
     # ascending; compact the -1 holes out with one more sort)
     nbr_sorted = jnp.sort(jnp.where(nbr_ids >= 0, nbr_ids, m), axis=0)
+    if max_degree < cand_k:
+        # connected edges beyond max_degree are dropped from propagation —
+        # a real edge loss exactly like the candidate cap; fold nodes that
+        # lost >= 1 connected edge into the same truncation counter
+        # (ADVICE r2 / VERDICT r3: no silent capacity without a counter)
+        cand_truncated = cand_truncated + jnp.sum(
+            nbr_sorted[max_degree] < m
+        ).astype(jnp.int32)
     nbr_ids = jnp.where(
         nbr_sorted[:max_degree] < m, nbr_sorted[:max_degree], -1
     )  # (max_degree, M)

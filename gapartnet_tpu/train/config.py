@@ -93,6 +93,8 @@ _MODEL_KEY_MAP = {
     "backbone_type": "backbone_type",
     "clustering_impl": "clustering_impl",
     "hash_node_capacity": "hash_node_capacity",
+    "hash_cand_cap": "hash_cand_cap",
+    "hash_max_degree": "hash_max_degree",
     "conv_compute_dtype": "conv_compute_dtype",
     "rulebook_impl": "rulebook_impl",
     "input_grid_extent": "input_grid_extent",

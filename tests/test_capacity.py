@@ -128,3 +128,25 @@ def test_bench_real_cloud_setup():
     assert caps[0] == 20000
     # fitted extent is tighter than the conservative 288^3 default
     assert all(32 <= e < 288 for e in cfg2.input_grid_extent)
+
+
+def test_scan_hash_capacities(npz_dir):
+    from gapartnet_tpu.data.capacity import _hash_occupancy, scan_hash_capacities
+
+    ds = GAPartNetDataset(npz_dir, max_points=500)
+    node_cap, cand_cap = scan_hash_capacities(
+        [ds], 0.04, fg_headroom=1.5, round_to=64, max_points=500
+    )
+    # node cap bounds the measured gt-node count AND 1.5x the foreground
+    # count (the label-noise-proof budget) of every sample
+    for i in range(len(ds)):
+        item = ds[i]
+        mask = item["point_mask"]
+        sem = item["sem_labels"][mask]
+        xyz = item["points"][mask][:, :3]
+        fg = sem > 0
+        n_nodes, cmax = _hash_occupancy(xyz[fg], sem[fg], 0.04)
+        assert n_nodes <= node_cap
+        assert cmax <= cand_cap
+    assert 64 <= node_cap <= 500
+    assert cand_cap % 4 == 0 and 4 <= cand_cap <= 62 + 3

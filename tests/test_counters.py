@@ -135,3 +135,35 @@ def test_train_metrics_carry_counters():
     _, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert "counters/dropped_proposals" in metrics
     assert "counters/ccl_node_overflow" in metrics
+
+
+def test_ccl_degree_drop_counted():
+    """Connected edges beyond hash_max_degree are edge losses and must fold
+    into the cand_truncated counter (no silent capacity in the clustering
+    path) — a dense same-label blob connects every node to many neighbors."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gapartnet_tpu.ops.hash_ccl import hash_connected_components
+
+    rng = np.random.RandomState(0)
+    n = 512
+    xyz = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 0.08)  # dense blob
+    sem = jnp.ones((n,), jnp.int32)
+    valid = jnp.ones((n,), bool)
+
+    _, _, trunc_wide = hash_connected_components(
+        xyz, sem, valid, 0.04, cand_cap=60, max_degree=60
+    )
+    _, _, trunc_tight = hash_connected_components(
+        xyz, sem, valid, 0.04, cand_cap=60, max_degree=4
+    )
+    assert int(trunc_tight) > int(trunc_wide)
+    # labels must agree anyway on a single fully-connected blob
+    lab_w, _, _ = hash_connected_components(
+        xyz, sem, valid, 0.04, cand_cap=60, max_degree=60
+    )
+    lab_t, _, _ = hash_connected_components(
+        xyz, sem, valid, 0.04, cand_cap=60, max_degree=4
+    )
+    assert (np.asarray(lab_w) == np.asarray(lab_t)).all()

@@ -1,64 +1,113 @@
 #!/usr/bin/env python
-"""Sustained staged training run on real articulated-object geometry.
+"""Sustained staged training on real + synthetic articulated-object geometry.
 
-The round-3 evidence artifact for BASELINE config #5 (staged training,
-reference model.py:528-601 + gapartnet.yaml:66-84):
+Round-4 evidence artifact (BASELINE config #5; reference training envelope
+gapartnet.yaml:51-88, staged schedule model.py:528-601).  Addresses the
+round-3 verdict items head-on:
 
-  1. renders a few-shot dataset of REAL example-asset views at the flagship
-     envelope (20000 points) with the SAPIEN-free renderer (datagen/assets.py)
-  2. `fit` with training_schedule [5, 10] to max_epochs 8 — both stage
-     transitions crossed, eval + top-k checkpointing every epoch
-  3. simulated interruption: a SECOND `fit` resumes FULLY (params/opt_state/
-     rng/epoch, trainer.ckpt_path) from the epoch-7 checkpoint to epoch 13
-  4. `test` from the last checkpoint
+  * scale: ~200 rendered views instead of 16 (VERDICT #1) — the SAPIEN-free
+    renderer (datagen/assets.py) over BOTH real example assets plus
+    procedurally generated articulated objects (datagen/synthetic.py)
+  * split semantics: genuine two-level split (dataset/README.md:24-26) —
+    train/val on seen categories {StorageFurniture, Box, Remote};
+    test_intra = unseen views AND unseen instances (Box_2, Remote_2) of seen
+    categories; test_inter = fully held-out categories {Camera (real 102442),
+    Microwave (synthetic)} with real foreground (VERDICT #6)
+  * every part class the assets carry (hinge_door, line_fixed_handle,
+    slider_button) appears in training — the synthetic Remote carries
+    slider_button so the real Camera can be held out entirely
+  * augmentation ON at reference strength (gapartnet.yaml:52-58) — viable at
+    this scale, unlike the 16-view round-3 set (PERF.md round 3 A/B)
+  * the resolved Config is dumped to the workdir (run_config.json) and the
+    final `test` runs from BOTH the best top-k checkpoint and `last`
+    (ADVICE r3: artifacts must be self-consistent and reflect the best model)
+  * the final test runs under GAPARTNET_CHECKS=1: clustering-capacity
+    counters are hard assertions, so a zero-counter artifact is proof, not a
+    claim (VERDICT #2)
 
-Metric JSONL logs land in --workdir (committed as runs/sustained_r3/).
-
-    python tools/sustained_run.py --workdir runs/sustained_r3
+    python tools/sustained_run.py --workdir runs/sustained_r4
+    python tools/sustained_run.py --workdir runs/sustained_r4 \
+        --skip-render --extend 300      # resume from last, train further
 """
 
 import argparse
 import dataclasses
 import json
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-ASSETS = [
-    "/root/reference/example_assets/45780",
-    "/root/reference/example_assets/102442",
-]
+REAL_SEEN = "/root/reference/example_assets/45780"      # StorageFurniture
+REAL_INTER = "/root/reference/example_assets/102442"    # Camera
 N_POINTS = 20000
 
 
-def build_dataset(root: Path, n_points: int = N_POINTS):
-    import numpy as np
-
+def render_views(asset_dir, render_root, n_views, seed0, camera_idxs=(0,),
+                 n_points=N_POINTS, width=512, height=512):
     from gapartnet_tpu.datagen import assets
 
-    render_dir = root / "render"
-    names = {a: [] for a in ASSETS}
-    for ai, asset in enumerate(ASSETS):
-        for ridx in range(12):
-            n = assets.render_asset_view(
-                str(asset), str(render_dir), render_idx=ridx,
-                seed=100 * ai + ridx, width=512, height=512,
-                num_surface_samples=200_000, num_points=n_points,
-            )
-            assert n is not None, (asset, ridx)
-            names[asset].append(n)
-            print(f"rendered {n} ({ridx})", flush=True)
+    names = []
+    for ridx in range(n_views):
+        cam = camera_idxs[ridx % len(camera_idxs)]
+        n = assets.render_asset_view(
+            str(asset_dir), str(render_root), camera_idx=cam,
+            render_idx=ridx, seed=seed0 + ridx, width=width, height=height,
+            num_surface_samples=200_000, num_points=n_points,
+        )
+        if n is None:  # too few foreground pixels for this draw — skip
+            print(f"  skipped {asset_dir} view {ridx} (too few points)",
+                  flush=True)
+            continue
+        names.append(n)
+    return names
 
-    # splits: 8+8 train, 2+2 val, test_intra = seen object (45780),
-    # test_inter = the other object (102442) — mirroring the reference's
-    # seen/unseen-category split semantics at toy scale
-    split_names = {
-        "train": names[ASSETS[0]][:8] + names[ASSETS[1]][:8],
-        "val": names[ASSETS[0]][8:10] + names[ASSETS[1]][8:10],
-        "test_intra": names[ASSETS[0]][10:12],
-        "test_inter": names[ASSETS[1]][10:12],
+
+def build_dataset(root: Path, n_points: int = N_POINTS, seed: int = 0):
+    """Render the round-4 view set and lay it out in two-level splits."""
+    import numpy as np
+
+    from gapartnet_tpu.datagen import synthetic
+
+    synth_root = root / "synth_assets"
+    synth = synthetic.generate_assets(
+        str(synth_root), {"Box": 3, "Remote": 3, "Microwave": 2}, seed=seed
+    )
+    by_name = {Path(d).name: d for d in synth}
+
+    render_dir = root / "render"
+    plan = {
+        # (asset_dir, n_views, camera_idxs): [(split, count), ...]
+        "real_seen": (REAL_SEEN, 48, (0,),
+                      [("train", 36), ("val", 6), ("test_intra", 6)]),
+        "Box_0": (by_name["Box_0"], 21, (0,), [("train", 18), ("val", 3)]),
+        "Box_1": (by_name["Box_1"], 21, (0,), [("train", 18), ("val", 3)]),
+        "Remote_0": (by_name["Remote_0"], 21, (0,),
+                     [("train", 18), ("val", 3)]),
+        "Remote_1": (by_name["Remote_1"], 21, (0,),
+                     [("train", 18), ("val", 3)]),
+        # unseen instances of seen categories -> test_intra
+        "Box_2": (by_name["Box_2"], 12, (0,), [("test_intra", 12)]),
+        "Remote_2": (by_name["Remote_2"], 12, (0,), [("test_intra", 12)]),
+        # fully held-out categories -> test_inter
+        "real_inter": (REAL_INTER, 24, (0, 1), [("test_inter", 24)]),
+        "Microwave_0": (by_name["Microwave_0"], 9, (0,),
+                        [("test_inter", 9)]),
+        "Microwave_1": (by_name["Microwave_1"], 9, (0,),
+                        [("test_inter", 9)]),
     }
+    split_names = {"train": [], "val": [], "test_intra": [], "test_inter": []}
+    for i, (key, (asset, n_views, cams, alloc)) in enumerate(plan.items()):
+        names = render_views(asset, render_dir, n_views, seed0=1000 * i + seed,
+                             camera_idxs=cams, n_points=n_points)
+        print(f"rendered {key}: {len(names)}/{n_views} views", flush=True)
+        pos = 0
+        for split, count in alloc:
+            take = names[pos:pos + count]
+            pos += count
+            split_names[split].extend(take)
+        # short renders (skipped views) eat into the LAST allocation only
     for split, use in split_names.items():
         d = root / split / "pth"
         d.mkdir(parents=True, exist_ok=True)
@@ -69,21 +118,21 @@ def build_dataset(root: Path, n_points: int = N_POINTS):
                 xyz=src["xyz"], rgb=src["rgb"], sem_labels=src["sem_labels"],
                 instance_labels=src["instance_labels"], gt_npcs=src["gt_npcs"],
             )
+        print(f"{split}: {len(use)} clouds", flush=True)
 
 
 def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str,
-             n_points: int = N_POINTS, sem_alpha: float = 0.0):
-    from gapartnet_tpu.train.config import Config, DataConfig, TrainerConfig
+             n_points: int = N_POINTS, sem_alpha: float = 0.1,
+             batch_size: int = 8):
     from gapartnet_tpu.models.gapartnet import GAPartNetConfig
+    from gapartnet_tpu.train.config import Config, DataConfig, TrainerConfig
 
     # sem_alpha > 0: class-balanced focal (reference losses.py:38 `alpha`,
-    # background weighted sem_alpha, parts 1.0).  The reference recipe
-    # (alpha=None) is tuned for its 26k-cloud dataset; on a 16-view few-shot
-    # set the ~90% background fraction is an attractor the sem head provably
-    # sinks into — margin diagnostics on the collapsed 4096-pt run show the
-    # correct-class-vs-background logit margin on foreground points FALLING
-    # from -0.81 (epoch 12) to -1.92 (epoch 49) with foreground predictions
-    # ~0.05% (PERF.md round 3).
+    # background weighted sem_alpha, parts 1.0).  The reference ships
+    # alpha=None, tuned for its 26k-cloud dataset; at a few hundred clouds
+    # the ~90% background fraction remains an attractor the sem head can
+    # sink into (measured margin divergence, PERF.md round 3), so the
+    # artifact runs keep the 0.1 background weight.
     model = GAPartNetConfig(
         conv_compute_dtype="bfloat16", max_points=n_points,
         sem_focal_alpha=(
@@ -91,56 +140,77 @@ def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str,
         ),
     )
     data = DataConfig(
-        root_dir=str(root), max_points=n_points, train_batch_size=4,
-        val_batch_size=4, num_workers=2, max_instances=model.max_instances,
-        # real surfaces overflow the synthetic-tuned divisor schedule at the
-        # mid levels (measured L1 16.5k vs 10k default) — size from the data
+        root_dir=str(root), max_points=n_points,
+        train_batch_size=batch_size, val_batch_size=batch_size,
+        num_workers=2, max_instances=model.max_instances,
+        # size every fixed-shape capacity (UNet levels, grid extent, hash-CCL
+        # node/cand tables) from THIS data — the zero-overflow contract
         auto_capacity=True,
-        # augmentation OFF for this 16-cloud few-shot artifact: a controlled
-        # A/B (static vs per-epoch re-augmented batches, trainer's own step)
-        # showed the reference-strength draws (random 3x3 jitter 0.1 + flips
-        # + z-rotations, sane at the reference's 26k-cloud scale) keep the
-        # sem head pinned in the all-background valley for 480+ steps on two
-        # objects, while static batches escape it by step ~160 and reach 73%
-        # foreground accuracy by step 600 (PERF.md round 3).  The artifact's
-        # purpose is e2e instance-pipeline evidence, not generalization.
-        pos_jitter=0.0, color_jitter=0.0, flip_prob=0.0, rotate_prob=0.0,
+        # reference-strength augmentation (gapartnet.yaml:52-58): viable at
+        # ~200 varied views (the round-3 16-view set needed it off)
     )
     trainer = TrainerConfig(
         max_epochs=max_epochs, training_schedule=(5, 10), seed=23333,
         ckpt_dir=str(workdir / "checkpoints"),
         log_file=str(workdir / log_name), save_top_k=3,
+        val_every_n_epochs=5,
     )
     return Config(model=model, data=data, trainer=trainer)
 
 
+def dump_cfg(cfg, workdir: Path):
+    """Resolved-config artifact (ADVICE r3: record what actually ran)."""
+    d = dataclasses.asdict(cfg)
+    (workdir / "run_config.json").write_text(json.dumps(d, indent=1, default=str))
+
+
+def best_ckpt(ckpt_dir: Path):
+    """Highest-mAP top-k checkpoint dir, or None."""
+    cands = []
+    for p in ckpt_dir.iterdir():
+        if p.name.startswith("epoch_") and "_mAP_" in p.name:
+            try:
+                cands.append((float(p.name.split("_mAP_")[1]), p))
+            except ValueError:
+                continue
+    return max(cands)[1] if cands else None
+
+
+def run_test(cfg_fn, workdir: Path, ckpt: Path, tag: str):
+    """`test` from one checkpoint with clustering-capacity checks HARD ON."""
+    from gapartnet_tpu.train import trainer as T
+
+    os.environ["GAPARTNET_CHECKS"] = "1"
+    cfg = cfg_fn(log_name=f"test_{tag}.jsonl")
+    cfg.trainer.resume_ckpt = str(ckpt)
+    dump_cfg(cfg, workdir)
+    metrics = T.test(cfg)
+    (workdir / f"test_metrics_{tag}.json").write_text(
+        json.dumps({k: float(v) for k, v in metrics.items()}, indent=1)
+    )
+    counters = {k: v for k, v in metrics.items() if "counters" in k}
+    print(f"test[{tag}] from {ckpt.name}: "
+          f"mean_mAP={metrics.get('monitor_metrics/mean_mAP', 0.0):.2f} "
+          f"counters={counters}", flush=True)
+    return metrics
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workdir", default="runs/sustained_r3")
-    ap.add_argument("--data", default="/tmp/sustained_data")
+    ap.add_argument("--workdir", default="runs/sustained_r4")
+    ap.add_argument("--data", default="/tmp/sustained_r4_data")
     ap.add_argument("--skip-render", action="store_true")
-    ap.add_argument(
-        "--points", type=int, default=N_POINTS,
-        help="point budget per cloud (20000 = flagship envelope; smaller "
-        "values make a CPU-feasible fallback when the TPU tunnel is down)",
-    )
-    ap.add_argument(
-        "--sem-alpha", type=float, default=0.0, metavar="W",
-        help="background class weight for the focal loss (reference "
-        "losses.py:38 alpha; parts stay 1.0).  0 = reference default "
-        "(alpha=None).  Few-shot sets need ~0.1: the 90%%-background "
-        "imbalance otherwise traps the sem head in the all-background "
-        "valley (measured margin divergence, PERF.md round 3)",
-    )
-    ap.add_argument(
-        "--extend", type=int, default=0, metavar="EPOCHS",
-        help="phase 3: resume from <workdir>/checkpoints/last and train on "
-        "to EPOCHS total (eval every 5), then re-test — 52 steps of phases "
-        "1+2 cross both stage transitions but underfit the sem head "
-        "(salt-and-pepper part predictions, so no cluster reaches the "
-        "5-point minimum and AP stays 0); the continuation trains to "
-        "nonzero AP on the held-out views",
-    )
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--points", type=int, default=N_POINTS)
+    ap.add_argument("--sem-alpha", type=float, default=0.1,
+                    help="background focal alpha (reference losses.py:38; "
+                    "0 = reference default alpha=None)")
+    ap.add_argument("--extend", type=int, default=0, metavar="EPOCHS",
+                    help="resume from <workdir>/checkpoints/last and train "
+                    "on to EPOCHS total, then re-test")
+    ap.add_argument("--test-only", action="store_true",
+                    help="skip fit; test from best + last checkpoints")
     args = ap.parse_args()
 
     import jax
@@ -153,58 +223,35 @@ def main():
     workdir.mkdir(parents=True, exist_ok=True)
     root = Path(args.data)
 
+    def cfg_fn(log_name, max_epochs=None):
+        return make_cfg(
+            root, workdir, max_epochs or args.extend or args.epochs,
+            log_name, n_points=args.points, sem_alpha=args.sem_alpha,
+            batch_size=args.batch,
+        )
+
     from gapartnet_tpu.train import trainer as T
 
-    if args.extend:
-        last = workdir / "checkpoints" / "last"
-        assert last.exists(), last
-        cfg = make_cfg(root, workdir, max_epochs=args.extend,
-                       log_name="fit_phase3.jsonl", n_points=args.points,
-                   sem_alpha=args.sem_alpha)
-        cfg.trainer.ckpt_path = str(last)
-        cfg.trainer.val_every_n_epochs = 5
-        T.fit(cfg)
-        cfg3 = make_cfg(root, workdir, max_epochs=args.extend,
-                        log_name="test.jsonl", n_points=args.points,
-                   sem_alpha=args.sem_alpha)
-        cfg3.trainer.resume_ckpt = str(last)
-        metrics = T.test(cfg3)
-        (workdir / "test_metrics.json").write_text(
-            json.dumps({k: float(v) for k, v in metrics.items()}, indent=1)
-        )
-        print("sustained extension complete:", workdir, flush=True)
-        return
-
-    if not args.skip_render:
+    if not (args.skip_render or args.test_only):
         build_dataset(root, n_points=args.points)
 
-    # phase 1: epochs 0-7 (crosses the epoch-5 scorenet transition)
-    cfg = make_cfg(root, workdir, max_epochs=8, log_name="fit_phase1.jsonl",
-                   n_points=args.points,
-                   sem_alpha=args.sem_alpha)
-    T.fit(cfg)
+    if not args.test_only:
+        cfg = cfg_fn("fit.jsonl" if not args.extend else "fit_extend.jsonl")
+        if args.extend:
+            last = workdir / "checkpoints" / "last"
+            assert last.exists(), last
+            cfg.trainer.ckpt_path = str(last)
+        dump_cfg(cfg, workdir)
+        T.fit(cfg)
 
-    # phase 2: full resume from the always-saved `last` checkpoint (epoch 7)
-    # -> epoch 13 (crosses the epoch-10 npcs transition); params/opt_state/
-    # rng restored exactly.  Top-k alone cannot serve here: with the monitor
-    # flat at 0 early, top-k keeps the earliest ties, not the newest epoch.
-    last = Path(cfg.trainer.ckpt_dir) / "last"
-    assert last.exists(), list(Path(cfg.trainer.ckpt_dir).iterdir())
-    cfg2 = make_cfg(root, workdir, max_epochs=13, log_name="fit_phase2.jsonl",
-                    n_points=args.points,
-                   sem_alpha=args.sem_alpha)
-    cfg2.trainer.ckpt_path = str(last)
-    T.fit(cfg2)
-
-    # test from the newest checkpoint
-    cfg3 = make_cfg(root, workdir, max_epochs=13, log_name="test.jsonl",
-                    n_points=args.points,
-                   sem_alpha=args.sem_alpha)
-    cfg3.trainer.resume_ckpt = str(last)
-    metrics = T.test(cfg3)
-    (workdir / "test_metrics.json").write_text(
-        json.dumps({k: float(v) for k, v in metrics.items()}, indent=1)
-    )
+    ckpt_dir = workdir / "checkpoints"
+    run_test(cfg_fn, workdir, ckpt_dir / "last", "last")
+    best = best_ckpt(ckpt_dir)
+    if best is not None and best.name != "last":
+        m = run_test(cfg_fn, workdir, best, "best")
+        (workdir / "test_metrics.json").write_text(  # headline = best
+            json.dumps({k: float(v) for k, v in m.items()}, indent=1)
+        )
     print("sustained run complete:", workdir, flush=True)
 
 

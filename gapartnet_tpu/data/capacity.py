@@ -154,7 +154,7 @@ def scan_hash_capacities(
     datasets: Iterable,
     radius: float,
     *,
-    fg_headroom: float = 1.5,
+    node_headroom: float = 1.3,
     cand_margin: int = 8,
     round_to: int = 256,
     max_samples: int = 48,
@@ -164,12 +164,16 @@ def scan_hash_capacities(
 
     Returns (hash_node_capacity PER SET, cand/degree cap):
 
-    * node capacity: the node count is bounded by the clustered point count
-      per set regardless of label noise (each point occupies at most one
-      (cell, label) node), so the label-noise-proof budget is the maximum
-      foreground point count x `fg_headroom` (trained sem heads overpredict
-      foreground modestly; overflow stays loudly counted either way).  The
-      measured gt-label node count is also folded in as a floor.
+    * node capacity: max measured (cell, label) node count over samples
+      (GT labels) x `node_headroom` for label-noise fragmentation at the
+      trained-model operating point, clamped to the foreground point count
+      (nodes can never outnumber clustered points).  Each set gets its own
+      cap inside hash_connected_components, so a large xyz set can never
+      starve the offset-shifted set; overflow stays loudly counted either
+      way (counters/ccl_node_overflow, asserted under GAPARTNET_CHECKS).
+      Probe/edge/propagation costs scale ~linearly with the cap (measured
+      0.06 ms/node at B8 on v5e), which is why this is sized from occupancy
+      rather than set to the worst-case 2N bound.
     * cand cap: max same-label candidates over the 62 positive probe
       offsets, measured with GT labels (the upper bound: label noise only
       fragments same-label neighborhoods) + `cand_margin`, clamped to 62.
@@ -195,7 +199,7 @@ def scan_hash_capacities(
             n_nodes, cmax = _hash_occupancy(xyz[fg], sem[fg], radius)
             max_nodes = max(max_nodes, n_nodes)
             max_cand = max(max_cand, cmax)
-    node_cap = int(np.ceil(max(max_fg * fg_headroom, max_nodes) / round_to))
+    node_cap = int(np.ceil(min(max_nodes * node_headroom, max_fg) / round_to))
     node_cap = min(max(node_cap * round_to, 256), max_points)
     cand_cap = min(max_cand + cand_margin, 62)
     cand_cap = ((cand_cap + 3) // 4) * 4  # hash_ccl chunks offsets in fours

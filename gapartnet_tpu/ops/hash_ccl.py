@@ -116,25 +116,43 @@ def hash_connected_components(
     sorted_ok = sk != KEY_SENTINEL
     first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & sorted_ok
     node_of_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
-    num_nodes = jnp.minimum(first.sum(), m).astype(jnp.int32)
-    in_cap = node_of_sorted < m
+    if set_mask is None:
+        in_cap_sorted = node_of_sorted < m
+    else:
+        # PER-SET capacity (round-4 fix): set-2 keys (x >= SET_STRIDE) always
+        # sort AFTER set 1, so a single global `node_id < m` cap starves
+        # set 2 first whenever set 1 is large — and set 2 (the offset-shifted
+        # clustering) is precisely what recovers small parts (model.py:
+        # 263-278 dual-set rationale).  Each set gets m//2 slots; dropped
+        # nodes are remapped out so the table stays compact.
+        is_set2 = ((sk >> LABEL_BITS) // ((1 << CELL_BITS) ** 2)) >= SET_STRIDE
+        set2_nodes = jnp.cumsum((first & is_set2).astype(jnp.int32))
+        rank_in_set = jnp.where(
+            is_set2, set2_nodes - 1, node_of_sorted - set2_nodes
+        )
+        in_cap_sorted = rank_in_set < (m // 2)
+    kept = first & in_cap_sorted
+    # compact node ids over KEPT nodes only (dropped ids leave no gaps)
+    new_id = jnp.cumsum(kept.astype(jnp.int32)) - 1
+    num_nodes = jnp.minimum(kept.sum(), m).astype(jnp.int32)
+    in_cap = in_cap_sorted & (new_id < m)
     point_node = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.where(sorted_ok & in_cap, node_of_sorted, -1)
+        jnp.where(sorted_ok & in_cap, new_id, -1)
     )
     node_keys = jnp.full((m,), KEY_SENTINEL, jnp.int32).at[
-        jnp.where(first & in_cap, node_of_sorted, m)
+        jnp.where(kept & in_cap, new_id, m)
     ].set(sk, mode="drop")
 
     # rank of each point within its node (scan-order == point-index order)
     node_start = jnp.zeros((m,), jnp.int32).at[
-        jnp.where(first & in_cap, node_of_sorted, m)
+        jnp.where(kept & in_cap, new_id, m)
     ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
     rank_sorted = jnp.arange(n, dtype=jnp.int32) - node_start[
-        jnp.clip(node_of_sorted, 0, m - 1)
+        jnp.clip(new_id, 0, m - 1)
     ]
     # representative table: first `reps` member points of each node
     rep_table = jnp.full((m, reps), -1, jnp.int32).at[
-        jnp.where(sorted_ok & in_cap & (rank_sorted < reps), node_of_sorted, m),
+        jnp.where(sorted_ok & in_cap & (rank_sorted < reps), new_id, m),
         jnp.clip(rank_sorted, 0, reps - 1),
     ].set(order.astype(jnp.int32), mode="drop")
 

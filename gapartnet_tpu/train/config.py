@@ -63,6 +63,9 @@ class TrainerConfig:
     visualize: bool = False
     visualize_dir: str = "visu"
     visualize_sample_num: int = 10
+    # raw camera RGB renders for the "raw" panel, looked up as
+    # <root>/<name>.png (reference visualize_cfg.RAW_IMG_ROOT)
+    visualize_raw_root: str = ""
 
 
 @dataclasses.dataclass
@@ -172,6 +175,9 @@ def config_from_yaml_dict(raw: Dict[str, Any]) -> Config:
         tkw["visualize"] = bool(vcfg.get("visualize", False))
         tkw["visualize_dir"] = vcfg.get("SAVE_ROOT", vcfg.get("visualize_dir", "visu"))
         tkw["visualize_sample_num"] = vcfg.get("sample_num", 10)
+        tkw["visualize_raw_root"] = vcfg.get(
+            "RAW_IMG_ROOT", vcfg.get("visualize_raw_root", "")
+        )
     for cb in trainer_args.get("callbacks", []) or []:
         if "ModelCheckpoint" in str(cb.get("class_path", "")):
             ia = cb.get("init_args", {}) or {}

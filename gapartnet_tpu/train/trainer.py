@@ -433,10 +433,11 @@ def visualize_samples(out, keep, batch, cfg: Config, split: str, limit: int):
             npcs_gt=np.asarray(batch.gt_npcs)[bi] + 0.5
             if batch.gt_npcs is not None else None,
             gt_bboxes=gt_bboxes,
-            save_option=(
-                "pc", "sem_pred", "ins_pred", "npcs_pred", "bbox_pred",
-                "sem_gt", "ins_gt", "npcs_gt", "bbox_gt",
-            ),
+            # full 12-panel reference option list (misc/visu.py:66-251);
+            # "raw" resolves via visualize_raw_root when the renders kept
+            # their camera RGB images (datagen save_maps)
+            save_option=visu.ALL_SAVE_OPTIONS,
+            raw_img_root=cfg.trainer.visualize_raw_root,
         )
         count += 1
     return count
@@ -658,6 +659,17 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
         total = conf.sum(0) + conf.sum(1) - tp
         iou = np.where(total > 0, tp / np.maximum(total, 1e-8), 1.0)
         miou = float(iou.mean())
+        # per-class sem recall (beyond the reference's aggregate metrics):
+        # conf rows are GT classes, so recall_c = tp_c / gt_c.  This is the
+        # first-line diagnostic for the all-background valley — a collapse
+        # shows every part-class recall falling together while all_accu
+        # (background-dominated) rises
+        gt_count = conf.sum(1)
+        for ci in range(1, num_classes):
+            if gt_count[ci] > 0:
+                metrics[f"{split}/recall_{PART_ID2NAME[ci]}"] = (
+                    float(tp[ci] / gt_count[ci]) * 100
+                )
 
         if do_instance:
             m = evaluator.compute_map()

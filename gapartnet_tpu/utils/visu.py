@@ -103,6 +103,36 @@ def colorize_npcs(npcs: np.ndarray) -> np.ndarray:
     return np.clip(np.asarray(npcs) * 255.0, 0, 255).astype(np.uint8)
 
 
+# the reference's full 12-panel option list (misc/visu.py:66-251)
+ALL_SAVE_OPTIONS = (
+    "raw", "pc", "sem_pred", "ins_pred", "npcs_pred", "bbox_pred",
+    "bbox_pred_pure", "sem_gt", "ins_gt", "npcs_gt", "bbox_gt",
+    "bbox_gt_pure",
+)
+
+
+def montage(panels: Dict[str, np.ndarray], order: Sequence[str],
+            cols: int = 4) -> np.ndarray:
+    """Tile the panels into one labeled grid image (the reference's
+    `final_img` composite, misc/visu.py:60-255: panels laid out row-major
+    with the option name drawn above each)."""
+    import cv2
+
+    keys = [k for k in order if k in panels]
+    if not keys:
+        return np.full((HEIGHT, WIDTH, 3), 255, np.uint8)
+    rows = (len(keys) + cols - 1) // cols
+    pad = 40  # text band above each tile (reference X_START offset)
+    out = np.full((rows * (HEIGHT + pad), cols * WIDTH, 3), 255, np.uint8)
+    for i, k in enumerate(keys):
+        r, c = divmod(i, cols)
+        y0 = r * (HEIGHT + pad)
+        out[y0 + pad:y0 + pad + HEIGHT, c * WIDTH:(c + 1) * WIDTH] = panels[k]
+        cv2.putText(out, k, (c * WIDTH + 10, y0 + 30),
+                    cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 0, 0), 2)
+    return out
+
+
 def visualize_gapartnet(
     save_root: str,
     name: str,
@@ -117,15 +147,20 @@ def visualize_gapartnet(
     ins_gt: Optional[np.ndarray] = None,
     npcs_gt: Optional[np.ndarray] = None,
     gt_bboxes: Optional[List[np.ndarray]] = None,
-    save_option: Sequence[str] = (
-        "pc", "sem_pred", "ins_pred", "npcs_pred", "bbox_pred",
-        "sem_gt", "ins_gt", "npcs_gt", "bbox_gt",
-    ),
+    save_option: Sequence[str] = ALL_SAVE_OPTIONS,
+    raw_img: Optional[np.ndarray] = None,
+    raw_img_root: Optional[str] = None,
+    write_montage: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Multi-panel dump (misc/visu.py:35-261 semantics: one image per
 
-    requested option under save_root/split/<option>/name.png).  Returns the
-    rendered images keyed by option; writing requires cv2."""
+    requested option under save_root/split/<option>/name.png, plus the
+    labeled grid composite save_root/split/name.png).  The "raw" panel is
+    the camera RGB render: pass it directly (`raw_img`, e.g. from the
+    SAPIEN-free splat renderer) or let it be looked up as
+    `{raw_img_root}/{name}.png` (the reference RAW_IMG_ROOT mechanism,
+    misc/visu.py:66-77).  Returns the rendered images keyed by option;
+    writing requires cv2."""
     import cv2
 
     xyz = points[:, :3]
@@ -138,6 +173,16 @@ def visualize_gapartnet(
             img = draw_bbox(img, boxes, trans)
         panels[option] = img
 
+    if "raw" in save_option:
+        if raw_img is None and raw_img_root is not None:
+            p = Path(raw_img_root) / f"{name}.png"
+            if p.exists():
+                raw_img = cv2.imread(str(p))[..., ::-1]  # BGR -> RGB
+        if raw_img is not None:
+            img = np.asarray(raw_img, np.uint8)
+            if img.shape[:2] != (HEIGHT, WIDTH):
+                img = cv2.resize(img, (WIDTH, HEIGHT))
+            panels["raw"] = img
     if "pc" in save_option:
         add("pc", rgb255)
     if "sem_pred" in save_option and sem_preds is not None:
@@ -169,4 +214,9 @@ def visualize_gapartnet(
         d = Path(save_root) / split / option
         d.mkdir(parents=True, exist_ok=True)
         cv2.imwrite(str(d / f"{name}.png"), img[..., ::-1])  # RGB -> BGR
+    if write_montage and panels:
+        grid = montage(panels, ALL_SAVE_OPTIONS)
+        d = Path(save_root) / split
+        d.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(d / f"{name}.png"), grid[..., ::-1])
     return panels

@@ -135,7 +135,7 @@ def test_scan_hash_capacities(npz_dir):
 
     ds = GAPartNetDataset(npz_dir, max_points=500)
     node_cap, cand_cap = scan_hash_capacities(
-        [ds], 0.04, fg_headroom=1.5, round_to=64, max_points=500
+        [ds], 0.04, round_to=64, max_points=500
     )
     # node cap bounds the measured gt-node count AND 1.5x the foreground
     # count (the label-noise-proof budget) of every sample

@@ -143,3 +143,33 @@ def test_probe_impls_agree(rng):
         outs[impl] = np.asarray(lab)
         assert int(ovf) == 0
     np.testing.assert_array_equal(outs["sort"], outs["table"])
+
+
+def test_per_set_capacity_protects_set2():
+    """Dual-set mode: set-2 keys sort after set 1, so a GLOBAL node cap would
+    starve set 2 whenever set 1 overflows — but set 2 (offset-shifted) is
+    what recovers small parts.  Per-set caps must keep set 2 clustered."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gapartnet_tpu.ops.hash_ccl import hash_connected_components
+
+    rng = np.random.RandomState(3)
+    n = 512
+    # set 1: spread over many cells (many nodes); set 2: one tight blob
+    xyz1 = rng.rand(n, 3).astype(np.float32)            # ~hundreds of nodes
+    xyz2 = (rng.rand(n, 3) * 0.02).astype(np.float32)   # a few nodes
+    both = jnp.asarray(np.concatenate([xyz1, xyz2]))
+    sem = jnp.ones((2 * n,), jnp.int32)
+    valid = jnp.ones((2 * n,), bool)
+    set_mask = jnp.arange(2 * n) >= n
+
+    m = 128  # far below set-1 occupancy, ample for set 2 (64 slots each)
+    lab, overflow, _ = hash_connected_components(
+        both, sem, valid, 0.04, node_capacity=m, set_mask=set_mask
+    )
+    lab = np.asarray(lab)
+    assert int(overflow) > 0  # set 1 genuinely overflows
+    # set 2 must still cluster into ONE component (min point index = n)
+    lab2 = lab[n:]
+    assert (lab2 == n).all(), np.unique(lab2)[:5]

@@ -61,3 +61,41 @@ def test_visualize_gapartnet_writes_panels(tmp_path, rng):
     assert set(panels) == {"pc", "sem_pred", "ins_pred", "npcs_pred", "bbox_pred"}
     for opt in panels:
         assert (tmp_path / "test" / opt / "t.png").exists()
+
+
+def test_visualize_gapartnet_full_panel_set(tmp_path, rng):
+    """The reference's 12-panel option list (misc/visu.py:66-251): raw RGB,
+    pure-bbox panels, and the labeled grid composite."""
+    n = 150
+    pts = np.concatenate(
+        [rng.rand(n, 3) * 0.2 + [0, 0, 2.0], rng.rand(n, 3)], axis=1
+    ).astype(np.float32)
+    sem = rng.randint(0, 10, n)
+    ins = rng.randint(0, 4, n)
+    npcs = rng.rand(n, 3).astype(np.float32)
+    bbox = np.array(
+        [[-1, -1, -1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1],
+         [1, 1, -1], [1, -1, 1], [-1, 1, 1], [1, 1, 1]], np.float32
+    ) * 0.1 + [0, 0, 2.0]
+    raw = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    panels = visu.visualize_gapartnet(
+        save_root=str(tmp_path), name="t", split="val",
+        points=pts, sem_preds=sem, ins_preds=ins, npcs_preds=npcs,
+        bboxes=[bbox], sem_gt=sem, ins_gt=ins - 1, npcs_gt=npcs - 0.5,
+        gt_bboxes=[bbox], raw_img=raw,
+    )
+    assert set(panels) == set(visu.ALL_SAVE_OPTIONS)
+    assert panels["raw"].shape == (visu.HEIGHT, visu.WIDTH, 3)  # resized
+    # composite grid written at the split root
+    assert (tmp_path / "val" / "t.png").exists()
+    # raw lookup via raw_img_root (reference RAW_IMG_ROOT mechanism)
+    import cv2
+
+    root = tmp_path / "raws"
+    root.mkdir()
+    cv2.imwrite(str(root / "t2.png"), raw)
+    panels2 = visu.visualize_gapartnet(
+        save_root=str(tmp_path), name="t2", split="val", points=pts,
+        save_option=("raw", "pc"), raw_img_root=str(root),
+    )
+    assert "raw" in panels2

@@ -123,7 +123,9 @@ def build_dataset(root: Path, n_points: int = N_POINTS, seed: int = 0):
 
 def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str,
              n_points: int = N_POINTS, sem_alpha: float = 0.1,
-             batch_size: int = 8):
+             batch_size: int = 8, color_jitter: float = 0.0,
+             pos_jitter: float = 0.1, flip_prob: float = 0.3,
+             rotate_prob: float = 0.3, schedule=(5, 10)):
     from gapartnet_tpu.models.gapartnet import GAPartNetConfig
     from gapartnet_tpu.train.config import Config, DataConfig, TrainerConfig
 
@@ -146,11 +148,25 @@ def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str,
         # size every fixed-shape capacity (UNet levels, grid extent, hash-CCL
         # node/cand tables) from THIS data — the zero-overflow contract
         auto_capacity=True,
-        # reference-strength augmentation (gapartnet.yaml:52-58): viable at
-        # ~200 varied views (the round-3 16-view set needed it off)
+        # GEOMETRIC augmentation at reference strength (gapartnet.yaml:52-58:
+        # jitter/flip/rotation).  COLOR jitter defaults OFF here: a measured
+        # round-4 run (runs/sustained_r4 first attempt, fit.jsonl) showed the
+        # full reference recipe at ~200 views sends the sem head into the
+        # all-background valley right through the epoch-5 stage transition
+        # (train_pixel_accu 51 -> 1 while loss_sem_seg keeps falling) even
+        # with sem_focal_alpha=0.1 — color jitter 0.3 erases the color
+        # signal separating parts from body at this data scale.  The
+        # reference value works at its 26k-cloud scale; pass --color-jitter
+        # 0.3 to reproduce the recipe exactly.
+        color_jitter=color_jitter,
+        pos_jitter=pos_jitter, flip_prob=flip_prob, rotate_prob=rotate_prob,
     )
+    # NOTE the reference schedule (5, 10) is tuned for ~400 steps/epoch
+    # (26k clouds / batch 64); at a few hundred clouds an epoch is ~13
+    # steps, so matching the reference's STEPS-before-transition budget
+    # means scaling the epoch thresholds up (see --schedule)
     trainer = TrainerConfig(
-        max_epochs=max_epochs, training_schedule=(5, 10), seed=23333,
+        max_epochs=max_epochs, training_schedule=tuple(schedule), seed=23333,
         ckpt_dir=str(workdir / "checkpoints"),
         log_file=str(workdir / log_name), save_top_k=3,
         val_every_n_epochs=5,
@@ -203,6 +219,16 @@ def main():
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--points", type=int, default=N_POINTS)
+    ap.add_argument("--schedule", type=int, nargs=2, default=(5, 10),
+                    metavar=("CLUSTER_EPOCH", "NPCS_EPOCH"),
+                    help="staged-training epoch thresholds (reference "
+                    "gapartnet.yaml:66: [5, 10] at 400 steps/epoch)")
+    ap.add_argument("--pos-jitter", type=float, default=0.1)
+    ap.add_argument("--flip-prob", type=float, default=0.3)
+    ap.add_argument("--rotate-prob", type=float, default=0.3)
+    ap.add_argument("--color-jitter", type=float, default=0.0,
+                    help="color jitter strength (reference 0.3; default off "
+                    "— see make_cfg note on the all-background valley)")
     ap.add_argument("--sem-alpha", type=float, default=0.1,
                     help="background focal alpha (reference losses.py:38; "
                     "0 = reference default alpha=None)")
@@ -227,7 +253,9 @@ def main():
         return make_cfg(
             root, workdir, max_epochs or args.extend or args.epochs,
             log_name, n_points=args.points, sem_alpha=args.sem_alpha,
-            batch_size=args.batch,
+            batch_size=args.batch, color_jitter=args.color_jitter,
+            pos_jitter=args.pos_jitter, flip_prob=args.flip_prob,
+            rotate_prob=args.rotate_prob, schedule=args.schedule,
         )
 
     from gapartnet_tpu.train import trainer as T

@@ -43,7 +43,7 @@ def real_cloud_setup(cfg, cloud_path: str, batch_size: int):
     import jax.numpy as jnp
     import numpy as np
 
-    from gapartnet_tpu.data.capacity import _counts_and_span
+    from gapartnet_tpu.data.capacity import _counts_and_span, _hash_occupancy
     from gapartnet_tpu.structures import PointCloudBatch
 
     d = np.load(cloud_path)
@@ -55,8 +55,22 @@ def real_cloud_setup(cfg, cloud_path: str, batch_size: int):
         min(max(-(-int(c * 1.08) // 128) * 128, 64), cfg.max_points)
         for c in counts)
     extent = tuple(max(-(-int(s * 1.08) // 16) * 16, 32) for s in span)
+    # hash-CCL tables sized from this cloud's measured occupancy (same rule
+    # as training auto_capacity: nodes x1.3 clamped to fg count, cand max+8)
+    # so the benched clustering shape matches honest serving, not the
+    # synthetic-blob default that silently truncated real data in round 3
+    sem = d["sem_labels"]
+    fg = sem > 0
+    n_nodes, cmax = _hash_occupancy(
+        d["xyz"][fg].astype(np.float64), sem[fg].astype(np.int64),
+        cfg.ball_query_radius)
+    node_cap = min(max(-(-int(min(n_nodes * 1.3, fg.sum())) // 256) * 256,
+                       256), cfg.max_points)
+    cand_cap = -(-min(cmax + 8, 62) // 4) * 4
     cfg = dataclasses.replace(
-        cfg, level_capacities=caps, input_grid_extent=extent)
+        cfg, level_capacities=caps, input_grid_extent=extent,
+        hash_node_capacity=node_cap, hash_cand_cap=cand_cap,
+        hash_max_degree=cand_cap)
     batch = PointCloudBatch(
         points=jnp.asarray(np.tile(pts[None], (batch_size, 1, 1))),
         point_mask=jnp.ones((batch_size, cfg.max_points), bool),

@@ -95,6 +95,10 @@ class GAPartNetConfig:
     # dropped from propagation and folded into ccl_cand_truncated.  Auto-
     # sizing sets it equal to the sized cand cap (no silent degree drops).
     hash_max_degree: int = 24
+    # offset-loss scale (1.0 = reference: losses summed unweighted,
+    # model.py:604).  Diagnostic knob for backbone-coupling probes
+    # (tools/valley_probe.py); not a reference configuration when != 1
+    offset_loss_weight: float = 1.0
     # conv gather/matmul precision: "float32" or "bfloat16" (f32 accumulate)
     conv_compute_dtype: str = "float32"
     # rematerialize backbone ResBlocks in backward (larger train batches)
@@ -368,6 +372,9 @@ class GAPartNet(nn.Module):
                 gt_offsets.reshape(-1, 3),
                 valid_inst.reshape(-1),
             )
+            if cfg.offset_loss_weight != 1.0:
+                loss_off_dist = loss_off_dist * cfg.offset_loss_weight
+                loss_off_dir = loss_off_dir * cfg.offset_loss_weight
 
         out = ModelOutput(
             sem_logits=sem_logits,

@@ -121,11 +121,39 @@ def build_dataset(root: Path, n_points: int = N_POINTS, seed: int = 0):
         print(f"{split}: {len(use)} clouds", flush=True)
 
 
+def scan_class_alpha(root: Path, num_classes: int = 10):
+    """Inverse-sqrt-frequency focal alpha from the train split.
+
+    The reference focal loss exposes per-class weights (losses.py:38
+    `alpha`, shipped None at 26k-cloud scale).  At a few hundred views the
+    foreground itself is imbalanced ~30:1 (doors 13.8%% of points vs
+    handles 0.43%% in the r4 set) and uniform part weights leave small-class
+    recall at ~0 (PERF.md round 4).  w_c = 1/sqrt(freq_c), absent classes
+    neutral 1.0, normalized so sum_c freq_c * w_c = 1 (sem-loss scale
+    preserved).
+    """
+    import glob
+
+    import numpy as np
+
+    counts = np.zeros(num_classes, np.int64)
+    for f in glob.glob(str(root / "train" / "pth" / "*.npz")):
+        sem = np.load(f)["sem_labels"]
+        counts += np.bincount(sem[sem >= 0], minlength=num_classes)
+    freq = counts / max(counts.sum(), 1)
+    w = np.where(counts > 0, 1.0 / np.sqrt(np.maximum(freq, 1e-9)), 1.0)
+    scale = float((freq * w).sum())
+    if scale > 0:
+        w = w / scale
+    return tuple(float(v) for v in w)
+
+
 def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str,
              n_points: int = N_POINTS, sem_alpha: float = 0.1,
              batch_size: int = 8, color_jitter: float = 0.0,
              pos_jitter: float = 0.1, flip_prob: float = 0.3,
-             rotate_prob: float = 0.3, schedule=(5, 10)):
+             rotate_prob: float = 0.3, schedule=(5, 10),
+             clustering_impl: str = "hash", lr: float = 1e-3):
     from gapartnet_tpu.models.gapartnet import GAPartNetConfig
     from gapartnet_tpu.train.config import Config, DataConfig, TrainerConfig
 
@@ -137,8 +165,10 @@ def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str,
     # artifact runs keep the 0.1 background weight.
     model = GAPartNetConfig(
         conv_compute_dtype="bfloat16", max_points=n_points,
+        clustering_impl=clustering_impl,
         sem_focal_alpha=(
-            (sem_alpha,) + (1.0,) * 9 if sem_alpha > 0 else None
+            scan_class_alpha(root) if sem_alpha == "auto"
+            else ((sem_alpha,) + (1.0,) * 9 if sem_alpha > 0 else None)
         ),
     )
     data = DataConfig(
@@ -167,6 +197,7 @@ def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str,
     # means scaling the epoch thresholds up (see --schedule)
     trainer = TrainerConfig(
         max_epochs=max_epochs, training_schedule=tuple(schedule), seed=23333,
+        learning_rate=lr,
         ckpt_dir=str(workdir / "checkpoints"),
         log_file=str(workdir / log_name), save_top_k=3,
         val_every_n_epochs=5,
@@ -219,6 +250,16 @@ def main():
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--points", type=int, default=N_POINTS)
+    ap.add_argument("--lr", type=float, default=3e-4,
+                    help="Adam lr.  Reference: 1e-3 at batch 64 "
+                    "(model.py:1052); at batch 8 the probe grid showed 1e-3 "
+                    "drives the sem head into the all-background valley at "
+                    "~step 120 while 3e-4 is stable (PERF.md round 4, "
+                    "tools/valley_probe.py)")
+    ap.add_argument("--clustering", default="hash", choices=["hash", "exact"],
+                    help="clustering impl for the eval A/B (VERDICT r3 #5: "
+                    "re-validate the exact-vs-hash AP delta on the real "
+                    "artifact checkpoint via --test-only --clustering exact)")
     ap.add_argument("--schedule", type=int, nargs=2, default=(5, 10),
                     metavar=("CLUSTER_EPOCH", "NPCS_EPOCH"),
                     help="staged-training epoch thresholds (reference "
@@ -229,7 +270,8 @@ def main():
     ap.add_argument("--color-jitter", type=float, default=0.0,
                     help="color jitter strength (reference 0.3; default off "
                     "— see make_cfg note on the all-background valley)")
-    ap.add_argument("--sem-alpha", type=float, default=0.1,
+    ap.add_argument("--sem-alpha", default=0.1,
+                    type=lambda v: v if v == "auto" else float(v),
                     help="background focal alpha (reference losses.py:38; "
                     "0 = reference default alpha=None)")
     ap.add_argument("--extend", type=int, default=0, metavar="EPOCHS",
@@ -256,6 +298,7 @@ def main():
             batch_size=args.batch, color_jitter=args.color_jitter,
             pos_jitter=args.pos_jitter, flip_prob=args.flip_prob,
             rotate_prob=args.rotate_prob, schedule=args.schedule,
+            clustering_impl=args.clustering, lr=args.lr,
         )
 
     from gapartnet_tpu.train import trainer as T
@@ -273,13 +316,15 @@ def main():
         T.fit(cfg)
 
     ckpt_dir = workdir / "checkpoints"
-    run_test(cfg_fn, workdir, ckpt_dir / "last", "last")
+    suffix = "" if args.clustering == "hash" else f"_{args.clustering}"
+    run_test(cfg_fn, workdir, ckpt_dir / "last", "last" + suffix)
     best = best_ckpt(ckpt_dir)
     if best is not None and best.name != "last":
-        m = run_test(cfg_fn, workdir, best, "best")
-        (workdir / "test_metrics.json").write_text(  # headline = best
-            json.dumps({k: float(v) for k, v in m.items()}, indent=1)
-        )
+        m = run_test(cfg_fn, workdir, best, "best" + suffix)
+        if not suffix:
+            (workdir / "test_metrics.json").write_text(  # headline = best
+                json.dumps({k: float(v) for k, v in m.items()}, indent=1)
+            )
     print("sustained run complete:", workdir, flush=True)
 
 

@@ -81,6 +81,7 @@ def scan_dataset_shapes(
     *,
     augment_trials: int = 3,
     headroom: float = 1.08,
+    aug_headroom: float = 1.16,
     round_to: int = 128,
     extent_round_to: int = 16,
     max_samples: int = 48,
@@ -94,8 +95,14 @@ def scan_dataset_shapes(
     span ~(210, 245, 222) cells vs the conservative 288^3 default.
     Out-of-extent voxels only lose neighbor links, so a rare outlier
     degrades gracefully rather than crashing.
+
+    Augmented datasets get `aug_headroom` instead of `headroom`: the scan
+    sees `augment_trials` random draws per sample, but a long run sees
+    hundreds — round-4 training measured ~0.1%% of voxels dropped at deep
+    levels under jitter/rotation draws the 3-trial scan missed.
     """
     mx = np.zeros(num_levels, np.int64)
+    mx_hr = float(headroom)
     span = np.zeros(3, np.int64)
     for ds in datasets:
         if ds is None or len(ds) == 0:
@@ -104,6 +111,8 @@ def scan_dataset_shapes(
             np.linspace(0, len(ds) - 1, min(len(ds), max_samples)).astype(int)
         )
         trials = augment_trials if getattr(ds, "augmentation", False) else 1
+        if trials > 1:
+            mx_hr = max(mx_hr, float(aug_headroom))
         epoch0 = getattr(ds, "epoch", 0)
         try:
             for t in range(trials):
@@ -116,7 +125,7 @@ def scan_dataset_shapes(
                     span = np.maximum(span, sp)
         finally:
             ds.epoch = epoch0
-    caps = np.ceil(mx * headroom / round_to).astype(np.int64) * round_to
+    caps = np.ceil(mx * mx_hr / round_to).astype(np.int64) * round_to
     caps = np.minimum(np.maximum(caps, 64), max_points)
     ext = np.ceil(span * headroom / extent_round_to).astype(np.int64)
     ext = np.maximum(ext * extent_round_to, 32)

@@ -443,22 +443,40 @@ def relabel_feature_bank(path: str, out_path: str, old_to_new: dict):
 
 
 def estimate_joint_angle(
-    xyz_a: np.ndarray, xyz_b: np.ndarray, seed: int = 0
+    xyz_a: np.ndarray, xyz_b: np.ndarray, seed: int = 0,
+    method: str = "ransac",
 ):
     """Two-frame revolute joint estimation (structure/gapartnet.py:819-963
 
-    semantics, RANSAC-rotation branch): fit a rigid rotation between the two
-    part clouds, extract axis (eigvec of R for eigenvalue 1), angle, and a
-    pivot point from the least-squares fixed-point equation.
+    semantics): fit a rigid rotation between the two part clouds, extract
+    axis (eigvec of R for eigenvalue 1), angle, and a pivot point from the
+    least-squares fixed-point equation.  The reference runs two rotation
+    estimators side by side — RANSAC-Umeyama (:848) and pycpd
+    RigidRegistration (:861); ``method`` selects the branch:
+
+    * ``"ransac"`` — direct Umeyama fit on index-paired points (requires
+      the two frames to be roughly correspondence-ordered).
+    * ``"cpd"`` — correspondence-free Coherent Point Drift EM
+      (ops/cpd.rigid_cpd); use when the two clouds are independent samples
+      of the part surface.
+
     Returns dict(axis (3,), angle_rad, pivot (3,), rotation (3,3)).
     """
-    from gapartnet_tpu.ops.umeyama import umeyama_masked
-
     m = min(len(xyz_a), len(xyz_b))
     a, b = xyz_a[:m].astype(np.float32), xyz_b[:m].astype(np.float32)
-    _, rot, trans = umeyama_masked(
-        jnp.asarray(a), jnp.asarray(b), jnp.ones(m, bool)
-    )
+    if method == "cpd":
+        from gapartnet_tpu.ops.cpd import rigid_cpd
+
+        # CPD aligns the moving cloud onto the target: frame a -> frame b
+        # (the reference registers X=pc1 normalized, Y=pc2, then reads the
+        # rotation between frames off reg.R).
+        _, rot, trans, _ = rigid_cpd(jnp.asarray(b), jnp.asarray(a))
+    else:
+        from gapartnet_tpu.ops.umeyama import umeyama_masked
+
+        _, rot, trans = umeyama_masked(
+            jnp.asarray(a), jnp.asarray(b), jnp.ones(m, bool)
+        )
     r = np.asarray(rot, np.float64)
     angle = float(np.arccos(np.clip((np.trace(r) - 1) / 2, -1, 1)))
     w, v = np.linalg.eig(r.T)
@@ -468,5 +486,10 @@ def estimate_joint_angle(
     # transposing the row-vector system gives (I - R)^T pivot = t
     t = np.asarray(trans, np.float64)
     A = np.eye(3) - r.T
-    pivot, *_ = np.linalg.lstsq(A, t, rcond=None)
+    # (I - R^T) is exactly rank-2 (the axis direction is null); with an
+    # ESTIMATED rotation the third singular value is ~1e-7 instead of 0,
+    # and the default machine-precision rcond inverts it — blowing the
+    # pivot up by ~1/sv3 along the axis.  Truncate it explicitly: the
+    # axis component of the pivot is unobservable anyway.
+    pivot, *_ = np.linalg.lstsq(A, t, rcond=1e-3)
     return dict(axis=axis, angle_rad=angle, pivot=pivot, rotation=r)

@@ -77,6 +77,43 @@ def test_joint_angle_recovery(rng):
     np.testing.assert_allclose(est["pivot"][:2], pivot[:2], atol=1e-2)
 
 
+def test_joint_angle_cpd_correspondence_free(rng):
+    """The CPD branch (reference structure/gapartnet.py:861) must recover
+    the joint without index correspondence — frame b is an independently
+    shuffled sample of the rotated part, which breaks the RANSAC branch's
+    paired-Umeyama assumption."""
+    pts = rng.rand(300, 3).astype(np.float64)
+    axis = np.array([0.0, 0.0, 1.0])
+    angle = 0.5
+    c, s = np.cos(angle), np.sin(angle)
+    R = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1.0]])
+    pivot = np.array([0.5, -0.2, 0.3])
+    pts_b = (pts - pivot) @ R + pivot
+    perm = rng.permutation(len(pts_b))
+    est = estimate_joint_angle(pts, pts_b[perm], method="cpd")
+    np.testing.assert_allclose(abs(est["angle_rad"]), angle, atol=5e-3)
+    np.testing.assert_allclose(np.abs(est["axis"]), np.abs(axis), atol=5e-3)
+    np.testing.assert_allclose(est["pivot"][:2], pivot[:2], atol=2e-2)
+
+
+def test_rigid_cpd_known_transform(rng):
+    """rigid_cpd recovers a known similarity transform (row convention
+    T(y) = s * y @ R + t) from shuffled clouds."""
+    from scipy.spatial.transform import Rotation
+
+    from gapartnet_tpu.ops.cpd import rigid_cpd
+
+    y = rng.rand(250, 3)
+    R = Rotation.from_rotvec([0.3, -0.2, 0.4]).as_matrix().T
+    s_true, t_true = 1.3, np.array([0.2, -0.1, 0.05])
+    x = s_true * (y @ R) + t_true
+    s, r, t, sigma2 = map(np.asarray, rigid_cpd(x, y[rng.permutation(len(y))]))
+    np.testing.assert_allclose(s, s_true, atol=1e-3)
+    np.testing.assert_allclose(r, R, atol=1e-3)
+    np.testing.assert_allclose(t, t_true, atol=1e-3)
+    assert sigma2 < 1e-4
+
+
 def test_inference_auto_capacity(rng):
     """auto_capacity sizes level capacities from the input cloud, reuses
     weights across the graph rebuild, and only ever grows capacities."""

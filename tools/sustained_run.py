@@ -79,17 +79,17 @@ def build_dataset(root: Path, n_points: int = N_POINTS, seed: int = 0):
     render_dir = root / "render"
     plan = {
         # (asset_dir, n_views, camera_idxs): [(split, count), ...]
-        "real_seen": (REAL_SEEN, 48, (0,),
-                      [("train", 36), ("val", 6), ("test_intra", 6)]),
-        "Box_0": (by_name["Box_0"], 21, (0,), [("train", 18), ("val", 3)]),
-        "Box_1": (by_name["Box_1"], 21, (0,), [("train", 18), ("val", 3)]),
-        "Remote_0": (by_name["Remote_0"], 21, (0,),
-                     [("train", 18), ("val", 3)]),
-        "Remote_1": (by_name["Remote_1"], 21, (0,),
-                     [("train", 18), ("val", 3)]),
+        "real_seen": (REAL_SEEN, 96, (0, 1),
+                      [("train", 72), ("val", 12), ("test_intra", 12)]),
+        "Box_0": (by_name["Box_0"], 36, (0, 1), [("train", 30), ("val", 6)]),
+        "Box_1": (by_name["Box_1"], 36, (0, 1), [("train", 30), ("val", 6)]),
+        "Remote_0": (by_name["Remote_0"], 36, (0, 1),
+                     [("train", 30), ("val", 6)]),
+        "Remote_1": (by_name["Remote_1"], 36, (0, 1),
+                     [("train", 30), ("val", 6)]),
         # unseen instances of seen categories -> test_intra
-        "Box_2": (by_name["Box_2"], 12, (0,), [("test_intra", 12)]),
-        "Remote_2": (by_name["Remote_2"], 12, (0,), [("test_intra", 12)]),
+        "Box_2": (by_name["Box_2"], 16, (0, 1), [("test_intra", 16)]),
+        "Remote_2": (by_name["Remote_2"], 16, (0, 1), [("test_intra", 16)]),
         # fully held-out categories -> test_inter
         "real_inter": (REAL_INTER, 24, (0, 1), [("test_inter", 24)]),
         "Microwave_0": (by_name["Microwave_0"], 9, (0,),
@@ -121,16 +121,26 @@ def build_dataset(root: Path, n_points: int = N_POINTS, seed: int = 0):
         print(f"{split}: {len(use)} clouds", flush=True)
 
 
-def scan_class_alpha(root: Path, num_classes: int = 10):
-    """Inverse-sqrt-frequency focal alpha from the train split.
+def scan_class_alpha(root: Path, num_classes: int = 10,
+                     background_alpha: float = 0.1):
+    """Class-balanced focal alpha from the train split.
 
     The reference focal loss exposes per-class weights (losses.py:38
-    `alpha`, shipped None at 26k-cloud scale).  At a few hundred views the
-    foreground itself is imbalanced ~30:1 (doors 13.8%% of points vs
-    handles 0.43%% in the r4 set) and uniform part weights leave small-class
-    recall at ~0 (PERF.md round 4).  w_c = 1/sqrt(freq_c), absent classes
-    neutral 1.0, normalized so sum_c freq_c * w_c = 1 (sem-loss scale
-    preserved).
+    `alpha`, shipped None at 26k-cloud scale).  Two imbalances at a few
+    hundred views: (a) ~90%% background, whose gradient dominance sinks
+    the sem head into the all-background valley (PERF.md rounds 3-4) — the
+    probe-validated fix is background weight 0.1; (b) the foreground
+    itself is ~30:1 (doors 13.8%% of points vs handles 0.43%%) and uniform
+    part weights leave small-class recall at ~0.
+
+    The first auto-alpha attempt normalized sum_c freq_c*w_c = 1 over ALL
+    classes — which handed 0.74 back to the 90%%-frequent background and
+    reproduced the valley collapse at step ~130
+    (runs/sustained_r4/fit_attempt3_autoalpha_collapsed.jsonl).  Here the
+    background stays PINNED at the stable 0.1 and only the part weights
+    are inverse-sqrt-frequency, normalized to preserve total foreground
+    loss mass (sum_{c>0} freq_c*w_c = sum_{c>0} freq_c); absent classes
+    neutral 1.0.
     """
     import glob
 
@@ -142,9 +152,12 @@ def scan_class_alpha(root: Path, num_classes: int = 10):
         counts += np.bincount(sem[sem >= 0], minlength=num_classes)
     freq = counts / max(counts.sum(), 1)
     w = np.where(counts > 0, 1.0 / np.sqrt(np.maximum(freq, 1e-9)), 1.0)
-    scale = float((freq * w).sum())
-    if scale > 0:
-        w = w / scale
+    fg = np.arange(num_classes) > 0
+    present = fg & (counts > 0)
+    mass = float((freq * w)[present].sum())
+    if mass > 0:
+        w = np.where(present, w * float(freq[present].sum()) / mass, w)
+    w[0] = background_alpha
     return tuple(float(v) for v in w)
 
 

@@ -79,17 +79,17 @@ def build_dataset(root: Path, n_points: int = N_POINTS, seed: int = 0):
     render_dir = root / "render"
     plan = {
         # (asset_dir, n_views, camera_idxs): [(split, count), ...]
-        "real_seen": (REAL_SEEN, 96, (0, 1),
+        "real_seen": (REAL_SEEN, 96, (0,),
                       [("train", 72), ("val", 12), ("test_intra", 12)]),
-        "Box_0": (by_name["Box_0"], 36, (0, 1), [("train", 30), ("val", 6)]),
-        "Box_1": (by_name["Box_1"], 36, (0, 1), [("train", 30), ("val", 6)]),
-        "Remote_0": (by_name["Remote_0"], 36, (0, 1),
+        "Box_0": (by_name["Box_0"], 36, (0,), [("train", 30), ("val", 6)]),
+        "Box_1": (by_name["Box_1"], 36, (0,), [("train", 30), ("val", 6)]),
+        "Remote_0": (by_name["Remote_0"], 36, (0,),
                      [("train", 30), ("val", 6)]),
-        "Remote_1": (by_name["Remote_1"], 36, (0, 1),
+        "Remote_1": (by_name["Remote_1"], 36, (0,),
                      [("train", 30), ("val", 6)]),
         # unseen instances of seen categories -> test_intra
-        "Box_2": (by_name["Box_2"], 16, (0, 1), [("test_intra", 16)]),
-        "Remote_2": (by_name["Remote_2"], 16, (0, 1), [("test_intra", 16)]),
+        "Box_2": (by_name["Box_2"], 16, (0,), [("test_intra", 16)]),
+        "Remote_2": (by_name["Remote_2"], 16, (0,), [("test_intra", 16)]),
         # fully held-out categories -> test_inter
         "real_inter": (REAL_INTER, 24, (0, 1), [("test_inter", 24)]),
         "Microwave_0": (by_name["Microwave_0"], 9, (0,),

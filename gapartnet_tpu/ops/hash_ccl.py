@@ -229,7 +229,7 @@ def hash_connected_components(
         )
         found_all = (node_keys[idx] == tgt_key) & tin
         vid_all = idx
-    elif probe_impl == "table":
+    elif probe_impl in ("table", "window"):
         window = 4  # a 2.3 cm cell rarely holds > 4 distinct part labels
         num_cells = CELL_X_EXTENT * c * c
         first_in_cell = jnp.concatenate(
@@ -238,10 +238,45 @@ def hash_connected_components(
         cell_start = jnp.full((num_cells,), -1, jnp.int32).at[
             jnp.where(first_in_cell, node_cell_key, num_cells)
         ].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
-        tgt_cell_key = (
-            tgt_cell[..., 0] * c + tgt_cell[..., 1]
-        ) * c + tgt_cell[..., 2]
-        start = cell_start[jnp.where(tin, tgt_cell_key, 0)]         # (62, N)
+        if probe_impl == "table":
+            tgt_cell_key = (
+                tgt_cell[..., 0] * c + tgt_cell[..., 1]
+            ) * c + tgt_cell[..., 2]
+            start = cell_start[jnp.where(tin, tgt_cell_key, 0)]     # (62, N)
+        else:
+            # "window" (round 4): cell keys pack z-fastest, so the 5 dz
+            # targets of one (dx, dy) column are CONSECUTIVE cell keys —
+            # fetch each column's starts with ONE 5-wide slice-gather
+            # instead of 5 element gathers.  Every element gather pulls a
+            # fresh ~4 KB HBM tile of the 4.2M-entry cell_start table, so
+            # this cuts the probe's dominant tile traffic 62 -> 13 rows
+            # per node (the sparse-conv _gather_taps_windowed trick applied
+            # to the cell-key space; PERF.md round-4 candidate).
+            from gapartnet_tpu.ops.sparse_conv import _window_gather
+
+            pair_list = [(0, 0)] + [
+                (dx, dy)
+                for dx in range(3)
+                for dy in range(-2, 3)
+                if (dx, dy) > (0, 0)
+            ]  # 13 columns, in `offs` group order
+            pairs = jnp.asarray(_np.asarray(pair_list, _np.int32))  # (13, 2)
+            bk = (
+                (node_cell[None, :, 0] + pairs[:, 0, None]) * c
+                + (node_cell[None, :, 1] + pairs[:, 1, None])
+            ) * c + (node_cell[None, :, 2] - 2)                     # (13, M)
+            # 4 sentinel pad rows keep bk+4 in bounds without shifting the
+            # window (a shifted window would misalign the dz slot index);
+            # out-of-grid targets are masked by `tin` downstream anyway
+            cell_start_p = jnp.concatenate(
+                [cell_start, jnp.full((4,), -1, jnp.int32)]
+            )
+            wg = _window_gather(
+                cell_start_p, bk.clip(0, num_cells - 1), 5
+            )                                                       # (13, M, 5)
+            g0 = wg[0, :, 3:5].T                                    # dz = +1, +2
+            rest = wg[1:].transpose(0, 2, 1).reshape(60, m)
+            start = jnp.concatenate([g0, rest], axis=0)             # (62, M)
         key_windows = jnp.stack(
             [jnp.roll(node_keys, -j) for j in range(window)], axis=-1
         )  # (N, window); row i = node_keys[i : i + window]

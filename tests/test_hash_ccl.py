@@ -135,7 +135,7 @@ def test_probe_impls_agree(rng):
     sem = rng.randint(0, 5, n).astype(np.int32)
     valid = rng.rand(n) > 0.1
     outs = {}
-    for impl in ("sort", "table"):
+    for impl in ("sort", "table", "window"):
         lab, ovf, _ = hash_connected_components(
             jnp.asarray(xyz), jnp.asarray(sem), jnp.asarray(valid),
             0.06, node_capacity=0, probe_impl=impl,
@@ -143,6 +143,36 @@ def test_probe_impls_agree(rng):
         outs[impl] = np.asarray(lab)
         assert int(ovf) == 0
     np.testing.assert_array_equal(outs["sort"], outs["table"])
+    np.testing.assert_array_equal(outs["sort"], outs["window"])
+
+
+def test_window_probe_agrees_dual_set_and_boundaries(rng):
+    """The windowed-rank probe must match the sort probe in dual-set mode
+    and with clouds pushed into the grid's corner cells (where the 5-wide
+    slice window hits the clipped/padded table rows)."""
+    import jax.numpy as jnp
+
+    from gapartnet_tpu.ops.hash_ccl import CELL_BITS, hash_connected_components
+
+    n = 800
+    radius = 0.06
+    s = radius / np.sqrt(3.0)
+    extent = (1 << CELL_BITS) * s
+    # spread across the full grid, with clusters hugging both corners
+    xyz = rng.rand(n, 3).astype(np.float32) * (extent * 0.98)
+    xyz[:60] = xyz[:60] * 0.01                      # min-corner clump
+    xyz[60:120] = extent * 0.995 - xyz[60:120] * 0.01   # max-corner clump
+    sem = rng.randint(0, 8, n).astype(np.int32)
+    valid = rng.rand(n) > 0.05
+    set_mask = jnp.asarray(rng.rand(n) > 0.5)
+    outs = {}
+    for impl in ("sort", "window"):
+        lab, ovf, _ = hash_connected_components(
+            jnp.asarray(xyz), jnp.asarray(sem), jnp.asarray(valid),
+            radius, node_capacity=0, probe_impl=impl, set_mask=set_mask,
+        )
+        outs[impl] = np.asarray(lab)
+    np.testing.assert_array_equal(outs["sort"], outs["window"])
 
 
 def test_per_set_capacity_protects_set2():

@@ -729,7 +729,10 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
         }
 
     logger.log(metrics, step)
-    return metrics.get("monitor_metrics/mean_mAP", 0.0), metrics
+    # checkpoint-selection metric: ModelCheckpoint `monitor` semantics
+    # (reference gapartnet.yaml:79); configurable so staged warm-start
+    # workflows can pick e.g. val/pixel_accu for a sem-only phase
+    return metrics.get(cfg.trainer.monitor, 0.0), metrics
 
 
 def _apply_auto_capacity(cfg: Config, datasets) -> None:

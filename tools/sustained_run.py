@@ -157,6 +157,11 @@ def scan_class_alpha(root: Path, num_classes: int = 10,
     mass = float((freq * w)[present].sum())
     if mass > 0:
         w = np.where(present, w * float(freq[present].sum()) / mass, w)
+    # never DOWN-weight a part class below the probe-stable uniform 1.0:
+    # attempt 4 (runs/sustained_r4/fit_attempt4_balanced_alpha_collapsed)
+    # ran doors at 0.76 and slid into the valley from epoch 4; the only
+    # stable configs observed keep every part weight >= 1
+    w = np.where(present, np.maximum(w, 1.0), w)
     w[0] = background_alpha
     return tuple(float(v) for v in w)
 
@@ -292,6 +297,22 @@ def main():
                     "on to EPOCHS total, then re-test")
     ap.add_argument("--test-only", action="store_true",
                     help="skip fit; test from best + last checkpoints")
+    ap.add_argument("--two-phase", action="store_true",
+                    help="staged warm-start workflow (the reference's own "
+                    "ckpt + training_schedule mechanism, model.py:132-143 + "
+                    "structure/utils.py:340 schedule [0,0]): phase A trains "
+                    "sem+offset only at the probe-stable config (no "
+                    "augmentation) checkpointing on val/pixel_accu; phase B "
+                    "warm-starts the best phase-A head with ALL stages on "
+                    "from step 0 at --lr-b.  Sidesteps the all-background "
+                    "slide that single-run configs hit at this data scale "
+                    "(PERF.md round 4, attempts 1-4).")
+    ap.add_argument("--epochs-a", type=int, default=14,
+                    help="phase-A epochs (two-phase mode)")
+    ap.add_argument("--lr-b", type=float, default=1e-4,
+                    help="phase-B lr (two-phase mode); lower than phase A "
+                    "so the warm-started sem head drifts slowly while the "
+                    "proposal/score/npcs stages learn")
     args = ap.parse_args()
 
     import jax
@@ -319,7 +340,37 @@ def main():
     if not (args.skip_render or args.test_only):
         build_dataset(root, n_points=args.points)
 
-    if not args.test_only:
+    if args.two_phase and not args.test_only:
+        # PHASE A: sem + offset heads only, NO augmentation — the one
+        # configuration measured stable against the all-background valley
+        # (tools/valley_probe.py lr-3e-4 row).  Checkpoint on foreground
+        # accuracy so the best sem head survives any late slide.
+        cfg = cfg_fn("fit_phase_a.jsonl", max_epochs=args.epochs_a)
+        cfg.trainer.training_schedule = (10**6, 10**6)
+        cfg.data.pos_jitter = 0.0
+        cfg.data.flip_prob = 0.0
+        cfg.data.rotate_prob = 0.0
+        cfg.data.color_jitter = 0.0
+        cfg.trainer.monitor = "val/pixel_accu"
+        cfg.trainer.val_every_n_epochs = 2
+        cfg.trainer.ckpt_dir = str(workdir / "checkpoints_a")
+        dump_cfg(cfg, workdir)
+        (workdir / "run_config_phase_a.json").write_text(
+            (workdir / "run_config.json").read_text())
+        T.fit(cfg)
+        best_a = best_ckpt(Path(cfg.trainer.ckpt_dir))
+        assert best_a is not None, "phase A produced no monitored checkpoint"
+        print(f"phase A best sem checkpoint: {best_a.name}", flush=True)
+        # PHASE B: warm-start the best sem head, ALL stages on from step 0
+        # (the reference's ckpt + training_schedule [0,0] workflow), lower
+        # lr, geometric augmentation back on, monitored on mean_mAP.
+        cfg = cfg_fn("fit_phase_b.jsonl")
+        cfg.trainer.training_schedule = (0, 0)
+        cfg.trainer.learning_rate = args.lr_b
+        cfg.trainer.resume_ckpt = str(best_a)
+        dump_cfg(cfg, workdir)
+        T.fit(cfg)
+    elif not args.test_only:
         cfg = cfg_fn("fit.jsonl" if not args.extend else "fit_extend.jsonl")
         if args.extend:
             last = workdir / "checkpoints" / "last"

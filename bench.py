@@ -123,8 +123,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     # bf16 conv compute for inference (f32 accumulation); all capacities at
-    # the reference envelope (20000 pts, full channel schedule)
-    cfg = GAPartNetConfig(conv_compute_dtype="bfloat16")
+    # the reference envelope (20000 pts, full channel schedule).
+    # BENCH_PROBE pins a hash-CCL probe impl for A/Bs (default: auto).
+    cfg = GAPartNetConfig(
+        conv_compute_dtype="bfloat16",
+        hash_probe_impl=os.environ.get("BENCH_PROBE", "auto"),
+    )
     cloud_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "assets", "bench_cloud.npz")
     use_real = os.path.exists(cloud_path) and not os.environ.get("BENCH_SYNTHETIC")

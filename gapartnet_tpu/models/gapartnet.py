@@ -95,6 +95,11 @@ class GAPartNetConfig:
     # dropped from propagation and folded into ccl_cand_truncated.  Auto-
     # sizing sets it equal to the sized cand cap (no silent degree drops).
     hash_max_degree: int = 24
+    # hash-CCL neighbor-probe implementation: "auto" picks per batch size
+    # (O(1) table at B1, fused-sort membership at batch); explicit values
+    # ("sort" | "table" | "window" | "bsearch") pin one — the perf-campaign
+    # A/B knob for ops/hash_ccl.py probe variants
+    hash_probe_impl: str = "auto"
     # offset-loss scale (1.0 = reference: losses summed unweighted,
     # model.py:604).  Diagnostic knob for backbone-coupling probes
     # (tools/valley_probe.py); not a reference configuration when != 1
@@ -418,7 +423,10 @@ class GAPartNet(nn.Module):
                     # probe by O(1) table at B1 (fastest single-sample), by
                     # fused-sort membership at batch (the table's HBM
                     # tile-fetch per element scales ~24x B1 -> B8)
-                    probe_impl="table" if b == 1 else "sort",
+                    probe_impl=(
+                        cfg.hash_probe_impl if cfg.hash_probe_impl != "auto"
+                        else ("table" if b == 1 else "sort")
+                    ),
                     hash_cand_cap=cfg.hash_cand_cap,
                     hash_max_degree=cfg.hash_max_degree,
                 )

@@ -665,11 +665,19 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
         # shows every part-class recall falling together while all_accu
         # (background-dominated) rises
         gt_count = conf.sum(1)
+        class_recalls = []
         for ci in range(1, num_classes):
             if gt_count[ci] > 0:
-                metrics[f"{split}/recall_{PART_ID2NAME[ci]}"] = (
-                    float(tp[ci] / gt_count[ci]) * 100
-                )
+                rec = float(tp[ci] / gt_count[ci]) * 100
+                metrics[f"{split}/recall_{PART_ID2NAME[ci]}"] = rec
+                class_recalls.append(rec)
+        if class_recalls:
+            # macro (class-balanced) recall over present part classes: the
+            # monitor for sem-phase checkpoint selection — pixel_accu is
+            # dominated by the largest class (doors), so its best checkpoint
+            # can be the WORST for small-part recall (phase-A finding,
+            # PERF.md round 4)
+            metrics[f"{split}/recall_macro"] = float(np.mean(class_recalls))
 
         if do_instance:
             m = evaluator.compute_map()

@@ -122,7 +122,7 @@ def build_dataset(root: Path, n_points: int = N_POINTS, seed: int = 0):
 
 
 def scan_class_alpha(root: Path, num_classes: int = 10,
-                     background_alpha: float = 0.1):
+                     background_alpha: float = 0.1, power: float = 1.0):
     """Class-balanced focal alpha from the train split.
 
     The reference focal loss exposes per-class weights (losses.py:38
@@ -151,7 +151,11 @@ def scan_class_alpha(root: Path, num_classes: int = 10,
         sem = np.load(f)["sem_labels"]
         counts += np.bincount(sem[sem >= 0], minlength=num_classes)
     freq = counts / max(counts.sum(), 1)
-    w = np.where(counts > 0, 1.0 / np.sqrt(np.maximum(freq, 1e-9)), 1.0)
+    # power=0.5 (sqrt) was measured too weak at the ~30:1 door:handle
+    # imbalance — phase-A val recall showed handles decaying 38 -> 3 while
+    # doors climbed (PERF.md round 4); power=1.0 (full inverse frequency)
+    # gives every present part class equal gradient mass
+    w = np.where(counts > 0, 1.0 / np.maximum(freq, 1e-9) ** power, 1.0)
     fg = np.arange(num_classes) > 0
     present = fg & (counts > 0)
     mass = float((freq * w)[present].sum())
@@ -351,7 +355,9 @@ def main():
         cfg.data.flip_prob = 0.0
         cfg.data.rotate_prob = 0.0
         cfg.data.color_jitter = 0.0
-        cfg.trainer.monitor = "val/pixel_accu"
+        # macro recall: pixel_accu is doors-dominated and its best
+        # checkpoint was measured to be the handles-worst one
+        cfg.trainer.monitor = "val/recall_macro"
         cfg.trainer.val_every_n_epochs = 2
         cfg.trainer.ckpt_dir = str(workdir / "checkpoints_a")
         dump_cfg(cfg, workdir)

@@ -345,6 +345,17 @@ class GAPartNet(nn.Module):
                 ce = -jnp.take_along_axis(
                     jax.nn.log_softmax(flat_logits, -1), t[:, None], -1
                 )[:, 0]
+                # class-weighted CE: the reference's non-focal branch is
+                # plain unweighted CE (model.py:369-371); when
+                # sem_focal_alpha is set it acts here as per-class CE
+                # weights (the focal branch's alpha semantics minus the
+                # (1-p)^gamma dynamic term), so the class-balance lever
+                # works on both loss branches.  Denominator stays the
+                # valid count, matching the focal branch's convention
+                # (losses.py:23-45).
+                if cfg.sem_focal_alpha is not None:
+                    aw = jnp.asarray(cfg.sem_focal_alpha, jnp.float32)
+                    ce = ce * aw[t]
                 loss_sem = jnp.where(valid, ce, 0.0).sum() / jnp.maximum(valid.sum(), 1)
             if cfg.use_sem_dice_loss:
                 loss_sem = loss_sem + L.dice_loss(flat_logits, flat_labels, flat_mask)

@@ -678,6 +678,12 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
             # can be the WORST for small-part recall (phase-A finding,
             # PERF.md round 4)
             metrics[f"{split}/recall_macro"] = float(np.mean(class_recalls))
+            # maximin recall: macro's best checkpoint can be a knife-edge
+            # winner-take-all state (79/7/6 beats 30/20/10 on the mean);
+            # the min over present part classes only scores states that
+            # predict EVERY class at once (phase-A handoff finding,
+            # PERF.md round 4 part 5)
+            metrics[f"{split}/recall_min"] = float(np.min(class_recalls))
 
         if do_instance:
             m = evaluator.compute_map()

@@ -122,7 +122,8 @@ def build_dataset(root: Path, n_points: int = N_POINTS, seed: int = 0):
 
 
 def scan_class_alpha(root: Path, num_classes: int = 10,
-                     background_alpha: float = 0.1, power: float = 1.0):
+                     background_alpha: float = 0.1, power: float = 1.0,
+                     cap: float = 0.0):
     """Class-balanced focal alpha from the train split.
 
     The reference focal loss exposes per-class weights (losses.py:38
@@ -166,6 +167,15 @@ def scan_class_alpha(root: Path, num_classes: int = 10,
     # ran doors at 0.76 and slid into the valley from epoch 4; the only
     # stable configs observed keep every part weight >= 1
     w = np.where(present, np.maximum(w, 1.0), w)
+    # weight cap: the un-capped inverse-frequency scan hands the rarest
+    # class a 12.4x weight whose effective per-point lr (weight * Adam lr)
+    # sits far above the measured stability boundary (1e-3 collapses,
+    # 3e-4 stable at weight 1) — the trunk then learns classes one at a
+    # time, winner-take-all (PERF.md round 4 part 5).  cap > 0 bounds
+    # every part weight; equality of per-class gradient MASS is sacrificed
+    # for staying inside the stable lr envelope on every class.
+    if cap > 0:
+        w = np.where(present, np.minimum(w, cap), w)
     w[0] = background_alpha
     return tuple(float(v) for v in w)
 
@@ -175,7 +185,8 @@ def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str,
              batch_size: int = 8, color_jitter: float = 0.0,
              pos_jitter: float = 0.1, flip_prob: float = 0.3,
              rotate_prob: float = 0.3, schedule=(5, 10),
-             clustering_impl: str = "hash", lr: float = 1e-3):
+             clustering_impl: str = "hash", lr: float = 1e-3,
+             alpha_cap: float = 0.0, use_focal: bool = True):
     from gapartnet_tpu.models.gapartnet import GAPartNetConfig
     from gapartnet_tpu.train.config import Config, DataConfig, TrainerConfig
 
@@ -189,9 +200,10 @@ def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str,
         conv_compute_dtype="bfloat16", max_points=n_points,
         clustering_impl=clustering_impl,
         sem_focal_alpha=(
-            scan_class_alpha(root) if sem_alpha == "auto"
+            scan_class_alpha(root, cap=alpha_cap) if sem_alpha == "auto"
             else ((sem_alpha,) + (1.0,) * 9 if sem_alpha > 0 else None)
         ),
+        use_sem_focal_loss=use_focal,
     )
     data = DataConfig(
         root_dir=str(root), max_points=n_points,
@@ -317,6 +329,22 @@ def main():
                     help="phase-B lr (two-phase mode); lower than phase A "
                     "so the warm-started sem head drifts slowly while the "
                     "proposal/score/npcs stages learn")
+    ap.add_argument("--no-focal-a", action="store_true",
+                    help="phase A uses class-weighted CE instead of focal "
+                    "(reference use_sem_focal_loss=False branch): focal's "
+                    "(1-p)^gamma term makes heavy class weights "
+                    "winner-take-all on the shared trunk (PERF.md round 4 "
+                    "part 5); plain weighted CE keeps constant per-class "
+                    "pressure")
+    ap.add_argument("--alpha-cap", type=float, default=0.0,
+                    help="cap the auto-scanned per-class focal weights "
+                    "(0 = uncapped); bounds the effective per-point lr "
+                    "(weight * Adam lr) inside the measured stability "
+                    "envelope")
+    ap.add_argument("--aug-b", action="store_true",
+                    help="geometric augmentation in phase B (default OFF: "
+                    "the first phase-B run decayed its warm start under "
+                    "aug at lr 1e-4, fit_phase_b_warmstart_decayed.jsonl)")
     args = ap.parse_args()
 
     import jax
@@ -337,6 +365,7 @@ def main():
             pos_jitter=args.pos_jitter, flip_prob=args.flip_prob,
             rotate_prob=args.rotate_prob, schedule=args.schedule,
             clustering_impl=args.clustering, lr=args.lr,
+            alpha_cap=args.alpha_cap,
         )
 
     from gapartnet_tpu.train import trainer as T
@@ -355,9 +384,13 @@ def main():
         cfg.data.flip_prob = 0.0
         cfg.data.rotate_prob = 0.0
         cfg.data.color_jitter = 0.0
-        # macro recall: pixel_accu is doors-dominated and its best
-        # checkpoint was measured to be the handles-worst one
-        cfg.trainer.monitor = "val/recall_macro"
+        if args.no_focal_a:
+            cfg.model = dataclasses.replace(
+                cfg.model, use_sem_focal_loss=False)
+        # maximin recall: macro's best checkpoint was measured to be a
+        # winner-take-all knife edge (79/7/6); min over present part
+        # classes only rewards states predicting EVERY class at once
+        cfg.trainer.monitor = "val/recall_min"
         cfg.trainer.val_every_n_epochs = 2
         cfg.trainer.ckpt_dir = str(workdir / "checkpoints_a")
         dump_cfg(cfg, workdir)
@@ -374,6 +407,11 @@ def main():
         cfg.trainer.training_schedule = (0, 0)
         cfg.trainer.learning_rate = args.lr_b
         cfg.trainer.resume_ckpt = str(best_a)
+        if not args.aug_b:
+            cfg.data.pos_jitter = 0.0
+            cfg.data.flip_prob = 0.0
+            cfg.data.rotate_prob = 0.0
+        cfg.trainer.val_every_n_epochs = 3
         dump_cfg(cfg, workdir)
         T.fit(cfg)
     elif not args.test_only:

@@ -32,7 +32,7 @@ import os
 import xml.etree.ElementTree as ET
 from os.path import join as pjoin
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -483,6 +483,8 @@ def render_view_maps(
     height: int = HEIGHT,
     num_surface_samples: int = 1_000_000,
     base_link_name: str = "base",
+    focus_category_ids: Optional[Sequence[int]] = None,
+    distance_scale: float = 1.0,
 ) -> dict:
     """Labeled view maps of a raw asset, SAPIEN-free:
 
@@ -503,7 +505,8 @@ def render_view_maps(
     cam_pos = get_cam_pos(
         ranges["theta_min"], ranges["theta_max"],
         ranges["phi_min"], ranges["phi_max"],
-        ranges["distance_min"], ranges["distance_max"], rng,
+        ranges["distance_min"] * distance_scale,
+        ranges["distance_max"] * distance_scale, rng,
     )
 
     rest = link_rest_poses(joints, base_link_name)
@@ -515,12 +518,56 @@ def render_view_maps(
     xyz, rgb, link_idx, links = sample_surface_points(
         meshes, num_surface_samples, rng
     )
+    focus_link = None
+    if focus_category_ids is not None:
+        cands = [k for k, v in link_pose.items()
+                 if v["category_id"] in tuple(focus_category_ids)
+                 and k in meshes]
+        if not cands:
+            return dict(rgb=None, depth=None, sem=None, ins=None, npcs=None,
+                        K=None, cam_pos=None, R_c2w=None, qpos=qpos,
+                        category=category, model_id=model_id,
+                        valid_links={}, link_to_inst={})
+        focus_link = cands[rng.randint(len(cands))]
+        # importance-sample the focus part: thin parts (a line_fixed_handle
+        # is ~0.6% of the object's surface area) are surfel-starved in a
+        # close-up — the z-buffer lets the surface BEHIND bleed through
+        # between its sparse surfels.  Extra samples drawn on the focus
+        # link alone make its pixel coverage dense at close range.
+        fx, fr, _, _ = sample_surface_points(
+            {focus_link: meshes[focus_link]}, num_surface_samples // 2, rng
+        )
+        xyz = np.concatenate([xyz, fx])
+        rgb = np.concatenate([rgb, fr])
+        link_idx = np.concatenate([
+            link_idx,
+            np.full(len(fx), links.index(focus_link), link_idx.dtype),
+        ])
     affines = link_motion_affines(links, joints, jstates, qpos, base_link_name)
     posed = np.empty_like(xyz)
     for li, link in enumerate(links):
         A, b2 = affines[link]
         m = link_idx == li
         posed[m] = xyz[m] @ A + b2
+
+    # part-focused close-up: recenter the WORLD on a random annotated part
+    # of one of the requested categories, so the origin-orbiting camera
+    # (distance already scaled by `distance_scale`) frames that part up
+    # close.  A pure rigid world translation — FK, NPCS bboxes, and the
+    # camera contract all live in the same shifted frame, so every
+    # downstream map stays consistent.  This is the dataset-balance lever
+    # the reference gets from its 26k-view scale and diversity: tiny part
+    # classes (line_fixed_handle is 0.43% of points in distant views)
+    # occupy a useful fraction of close-up frames.
+    if focus_link is not None:
+        center = np.asarray(
+            link_pose[focus_link]["bbox"], np.float64
+        ).mean(axis=0)
+        posed = posed - center
+        link_pose = {
+            k: {"category_id": v["category_id"], "bbox": v["bbox"] - center}
+            for k, v in link_pose.items()
+        }
 
     K = camera_intrinsics(width, height)
     depth, winner = splat_zbuffer(posed, cam_pos, K, width, height)
@@ -572,6 +619,8 @@ def render_asset_view(
     """
     m = render_view_maps(asset_dir, camera_idx=camera_idx, seed=seed,
                          **map_kwargs)
+    if m["depth"] is None:  # focused render on an asset without that part
+        return None
     name = f"{m['category']}_{m['model_id']}_{camera_idx:02d}_{render_idx:03d}"
     if save_maps:
         bbox_pose_dict = {

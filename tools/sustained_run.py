@@ -121,6 +121,71 @@ def build_dataset(root: Path, n_points: int = N_POINTS, seed: int = 0):
         print(f"{split}: {len(use)} clouds", flush=True)
 
 
+def append_zoom_views(root: Path, n_points: int = N_POINTS):
+    """Part-focused close-up views appended to train/val/test_intra.
+
+    The rare-class bottleneck is the DATA, not the loss: line_fixed_handle
+    is 0.43%% of points in the distant-view set, and every loss-level
+    reweighting tried (focal/CE x alpha 1..12.4, PERF.md round 4 parts 4-5)
+    either ignores handles or degenerates to predicting them everywhere.
+    The reference's 26k-view dataset gets balance from scale and camera
+    diversity; this is the same lever at our scale — close-ups centered on
+    handle/button parts (datagen/assets.py focus_category_ids +
+    distance_scale) raise the handle share of foreground to ~14%% in their
+    views.  test_inter stays distant-only (held-out categories untouched).
+    """
+    import numpy as np
+
+    by_name = {p.name: str(p) for p in (root / "synth_assets").iterdir()
+               if p.is_dir()} if (root / "synth_assets").exists() else {}
+    render_dir = root / "render"
+    # (asset, focus category_ids, distance_scale, n, [(split, count), ...])
+    HANDLE, ROUND_HANDLE, BUTTON = 0, 1, 2
+    plan = [
+        (REAL_SEEN, (HANDLE, ROUND_HANDLE), 0.10, 28,
+         [("train", 22), ("val", 3), ("test_intra", 3)]),
+        (by_name.get("Box_0"), (HANDLE,), 0.15, 8,
+         [("train", 7), ("val", 1)]),
+        (by_name.get("Box_1"), (HANDLE,), 0.15, 8,
+         [("train", 7), ("val", 1)]),
+        (by_name.get("Box_2"), (HANDLE,), 0.15, 4, [("test_intra", 4)]),
+        (by_name.get("Remote_0"), (BUTTON,), 0.25, 8,
+         [("train", 7), ("val", 1)]),
+        (by_name.get("Remote_1"), (BUTTON,), 0.25, 8,
+         [("train", 7), ("val", 1)]),
+        (by_name.get("Remote_2"), (BUTTON,), 0.25, 4, [("test_intra", 4)]),
+    ]
+    for pi, (asset, focus, ds, n_views, alloc) in enumerate(plan):
+        if asset is None:
+            continue
+        names = []
+        for ridx in range(n_views):
+            from gapartnet_tpu.datagen import assets as A
+
+            n = A.render_asset_view(
+                str(asset), str(render_dir), camera_idx=0,
+                render_idx=500 + ridx, seed=77000 + 1000 * pi + ridx,
+                width=512, height=512, num_surface_samples=3_000_000,
+                num_points=n_points, focus_category_ids=focus,
+                distance_scale=ds,
+            )
+            if n is not None:
+                names.append(n)
+        print(f"zoom-rendered {Path(str(asset)).name}: "
+              f"{len(names)}/{n_views}", flush=True)
+        pos = 0
+        for split, count in alloc:
+            d = root / split / "pth"
+            d.mkdir(parents=True, exist_ok=True)
+            for n in names[pos:pos + count]:
+                src = np.load(render_dir / "pth" / f"{n}.npz")
+                np.savez(d / f"{n}.npz", xyz=src["xyz"], rgb=src["rgb"],
+                         sem_labels=src["sem_labels"],
+                         instance_labels=src["instance_labels"],
+                         gt_npcs=src["gt_npcs"])
+            pos += count
+
+
 def scan_class_alpha(root: Path, num_classes: int = 10,
                      background_alpha: float = 0.1, power: float = 1.0,
                      cap: float = 0.0):
@@ -341,6 +406,9 @@ def main():
                     "(0 = uncapped); bounds the effective per-point lr "
                     "(weight * Adam lr) inside the measured stability "
                     "envelope")
+    ap.add_argument("--add-zoom", action="store_true",
+                    help="append part-focused close-up views to the "
+                    "dataset before training (see append_zoom_views)")
     ap.add_argument("--aug-b", action="store_true",
                     help="geometric augmentation in phase B (default OFF: "
                     "the first phase-B run decayed its warm start under "
@@ -372,6 +440,8 @@ def main():
 
     if not (args.skip_render or args.test_only):
         build_dataset(root, n_points=args.points)
+    if args.add_zoom and not args.test_only:
+        append_zoom_views(root, n_points=args.points)
 
     if args.two_phase and not args.test_only:
         # PHASE A: sem + offset heads only, NO augmentation — the one
@@ -407,6 +477,12 @@ def main():
         cfg.trainer.training_schedule = (0, 0)
         cfg.trainer.learning_rate = args.lr_b
         cfg.trainer.resume_ckpt = str(best_a)
+        if args.no_focal_a:
+            # keep the sem loss surface identical across the warm start —
+            # switching CE -> focal mid-stream would move the optimum the
+            # phase-A head sits at
+            cfg.model = dataclasses.replace(
+                cfg.model, use_sem_focal_loss=False)
         if not args.aug_b:
             cfg.data.pos_jitter = 0.0
             cfg.data.flip_prob = 0.0

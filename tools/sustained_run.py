@@ -338,6 +338,13 @@ def run_test(cfg_fn, workdir: Path, ckpt: Path, tag: str):
     print(f"test[{tag}] from {ckpt.name}: "
           f"mean_mAP={metrics.get('monitor_metrics/mean_mAP', 0.0):.2f} "
           f"counters={counters}", flush=True)
+    # the zero-overflow contract, enforced HOST-SIDE on the fetched metric
+    # values (the in-jit checkify path needs mode="jit" wiring at import
+    # time; env GAPARTNET_CHECKS=1 alone was a silent no-op).  The metrics
+    # artifact is written BEFORE this assert so a trip is loud but the
+    # evidence survives.
+    bad = {k: v for k, v in counters.items() if float(v) != 0.0}
+    assert not bad, f"eval capacity counters nonzero (silent truncation): {bad}"
     return metrics
 
 

@@ -344,7 +344,12 @@ def run_test(cfg_fn, workdir: Path, ckpt: Path, tag: str):
     # artifact is written BEFORE this assert so a trip is loud but the
     # evidence survives.
     bad = {k: v for k, v in counters.items() if float(v) != 0.0}
-    assert not bad, f"eval capacity counters nonzero (silent truncation): {bad}"
+    if os.environ.get("GAPARTNET_ALLOW_OVERFLOW", "0") != "1":
+        assert not bad, \
+            f"eval capacity counters nonzero (silent truncation): {bad}"
+    elif bad:
+        print(f"test[{tag}] OVERFLOW WAIVED (GAPARTNET_ALLOW_OVERFLOW=1): "
+              f"{bad}", flush=True)
     return metrics
 
 

@@ -212,4 +212,7 @@ def scan_hash_capacities(
     node_cap = min(max(node_cap * round_to, 256), max_points)
     cand_cap = min(max_cand + cand_margin, 62)
     cand_cap = ((cand_cap + 3) // 4) * 4  # hash_ccl chunks offsets in fours
+    # the probe has exactly 62 positive offsets, so the largest usable
+    # chunked cap is 60 — rounding 62 UP to 64 overran the probe arrays
+    cand_cap = min(cand_cap, 60)
     return node_cap, cand_cap

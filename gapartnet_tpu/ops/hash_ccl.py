@@ -304,6 +304,9 @@ def hash_connected_components(
     # full-neighborhood 48 while keeping the propagation table equally wide.
     cand_k = cand_cap or max(4, min(32, max_degree))
     cand_k = ((cand_k + 3) // 4) * 4  # edge scan chunks offsets in fours
+    # never exceed the probe's own row count (62 positive offsets): a cap
+    # above it would slice short and break the chunked reshape below
+    cand_k = min(cand_k, (found_all.shape[0] // 4) * 4)
     # nodes with more found candidates than the cap silently lose edges the
     # distance check never sees — count them (ADVICE r2: the only capacity
     # without an overflow counter)

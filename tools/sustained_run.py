@@ -251,7 +251,8 @@ def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str,
              pos_jitter: float = 0.1, flip_prob: float = 0.3,
              rotate_prob: float = 0.3, schedule=(5, 10),
              clustering_impl: str = "hash", lr: float = 1e-3,
-             alpha_cap: float = 0.0, use_focal: bool = True):
+             alpha_cap: float = 0.0, use_focal: bool = True,
+             bg_alpha: float = 0.1):
     from gapartnet_tpu.models.gapartnet import GAPartNetConfig
     from gapartnet_tpu.train.config import Config, DataConfig, TrainerConfig
 
@@ -265,7 +266,9 @@ def make_cfg(root: Path, workdir: Path, max_epochs: int, log_name: str,
         conv_compute_dtype="bfloat16", max_points=n_points,
         clustering_impl=clustering_impl,
         sem_focal_alpha=(
-            scan_class_alpha(root, cap=alpha_cap) if sem_alpha == "auto"
+            scan_class_alpha(root, cap=alpha_cap,
+                             background_alpha=bg_alpha)
+            if sem_alpha == "auto"
             else ((sem_alpha,) + (1.0,) * 9 if sem_alpha > 0 else None)
         ),
         use_sem_focal_loss=use_focal,
@@ -413,6 +416,10 @@ def main():
                     "winner-take-all on the shared trunk (PERF.md round 4 "
                     "part 5); plain weighted CE keeps constant per-class "
                     "pressure")
+    ap.add_argument("--bg-alpha", type=float, default=0.1,
+                    help="background focal/CE weight inside --sem-alpha "
+                    "auto (probe-stable 0.1 on the distant-view set; the "
+                    "zoom-enriched set slid into the valley at 0.1/lr 3e-4)")
     ap.add_argument("--alpha-cap", type=float, default=0.0,
                     help="cap the auto-scanned per-class focal weights "
                     "(0 = uncapped); bounds the effective per-point lr "
@@ -445,7 +452,7 @@ def main():
             pos_jitter=args.pos_jitter, flip_prob=args.flip_prob,
             rotate_prob=args.rotate_prob, schedule=args.schedule,
             clustering_impl=args.clustering, lr=args.lr,
-            alpha_cap=args.alpha_cap,
+            alpha_cap=args.alpha_cap, bg_alpha=args.bg_alpha,
         )
 
     from gapartnet_tpu.train import trainer as T

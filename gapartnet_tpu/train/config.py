@@ -54,6 +54,11 @@ class TrainerConfig:
     monitor: str = "monitor_metrics/mean_mAP"
     log_file: str = "metrics.jsonl"
     resume_ckpt: str = ""           # warm-start (reference model.py:132-143)
+    # top-level param modules excluded from optimization (and from BN-stat
+    # updates): e.g. ("backbone", "sem_seg_head", "offset_mlp0",
+    # "offset_bn", "offset_mlp1") freezes the warm-started trunk so the
+    # all-stages phase can only ADD instance AP (see train/loop.adam)
+    freeze_prefixes: Tuple[str, ...] = ()
     ckpt_path: str = ""             # FULL resume: params+opt_state+rng+epoch
                                     # (Lightning `fit --ckpt_path` semantics)
     val_every_n_epochs: int = 1

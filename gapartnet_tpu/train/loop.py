@@ -100,6 +100,7 @@ def make_train_step(
     do_score: bool,
     do_npcs: bool,
     donate: bool = True,
+    freeze_prefixes: Tuple[str, ...] = (),
 ):
     flags = dict(do_cluster=do_cluster, do_score=do_score, do_npcs=do_npcs)
 
@@ -116,6 +117,18 @@ def make_train_step(
         (loss, (out, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if freeze_prefixes:
+            # frozen modules must not drift AT ALL — that includes their
+            # BatchNorm running stats, which `mutable=["batch_stats"]`
+            # otherwise keeps updating every step
+            new_bs = type(new_bs)(
+                {
+                    k: (state.batch_stats[k]
+                        if k in freeze_prefixes and k in state.batch_stats
+                        else v)
+                    for k, v in new_bs.items()
+                }
+            )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -141,6 +154,37 @@ def make_eval_step(model: GAPartNet, do_cluster: bool, do_score: bool, do_npcs: 
     return jax.jit(step)
 
 
-def adam(learning_rate: float = 1e-3) -> optax.GradientTransformation:
-    """torch.optim.Adam defaults (model.py:1051-1055): b1=.9 b2=.999 eps=1e-8."""
-    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+def adam(
+    learning_rate: float = 1e-3,
+    freeze_prefixes: Tuple[str, ...] = (),
+) -> optax.GradientTransformation:
+    """torch.optim.Adam defaults (model.py:1051-1055): b1=.9 b2=.999 eps=1e-8.
+
+    freeze_prefixes: top-level param-tree module names whose updates are
+    zeroed (optax.set_to_zero under multi_transform).  The reference has no
+    freezing during fit — its warm-start (model.py:132-143) trains every
+    loaded weight — but at few-hundred-view scale the all-stages phase-B
+    loss measurably ERODES a warm-started sem head (fit_phase_b decay,
+    PERF.md round 4 part 5); freezing the trunk makes phase B strictly
+    additive (score/NPCS heads can only add AP on top of the frozen
+    semantics, never destroy it).
+    """
+    tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if not freeze_prefixes:
+        return tx
+    fz = tuple(freeze_prefixes)
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "frozen" if _path_key(path[0]) in fz else "train",
+            params,
+        )
+
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, label_fn
+    )
+
+
+def _path_key(entry) -> str:
+    """Top-level pytree key as a string (DictKey / FlattenedIndexKey)."""
+    return str(getattr(entry, "key", entry))

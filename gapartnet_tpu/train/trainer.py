@@ -684,6 +684,17 @@ def evaluate_splits(model, state, cfg: Config, datasets, epoch: int,
             # predict EVERY class at once (phase-A handoff finding,
             # PERF.md round 4 part 5)
             metrics[f"{split}/recall_min"] = float(np.min(class_recalls))
+            # balance-gated monitor: geometric mean of (1 + recall_c) scaled
+            # by foreground pixel accuracy.  recall_min alone selected a
+            # DEGENERATE all-handle epoch-1 state (min recall nonzero there
+            # only because every point was called "handle"; pixel_accu 3.6%
+            # == the all-handle value) over the genuinely learned endpoint
+            # (PERF.md round 4 part 5).  The pixel_accu factor zeroes out
+            # predict-one-class-everywhere states while the geometric mean
+            # still rewards covering every class at once.
+            metrics[f"{split}/recall_gmp"] = float(
+                np.exp(np.mean(np.log1p(class_recalls))) * pixel_accu
+            )
 
         if do_instance:
             m = evaluator.compute_map()
@@ -797,7 +808,7 @@ def fit(cfg: Config):
     logger = MetricLogger(
         cfg.trainer.log_file, cfg.trainer.use_wandb, run_name=run_name(cfg)
     )
-    optimizer = adam(cfg.trainer.learning_rate)
+    optimizer = adam(cfg.trainer.learning_rate, cfg.trainer.freeze_prefixes)
 
     # data-parallel mesh over all local devices (batch must divide evenly)
     mesh = None
@@ -848,7 +859,10 @@ def fit(cfg: Config):
         flags = stage_flags(epoch, cfg.trainer.training_schedule)
         key = tuple(sorted(flags.items()))
         if key not in step_fns:
-            step_fns[key] = make_train_step(model, optimizer, **flags)
+            step_fns[key] = make_train_step(
+                model, optimizer,
+                freeze_prefixes=cfg.trainer.freeze_prefixes, **flags,
+            )
         train_step = step_fns[key]
 
         t0 = time.time()
@@ -908,6 +922,19 @@ def fit(cfg: Config):
 def test(cfg: Config):
     datasets = build_datasets(cfg, "test")
     _apply_auto_capacity(cfg, datasets)
+    if cfg.data.auto_capacity and cfg.model.clustering_impl == "hash":
+        # Eval clusters with PREDICTED sem labels, so (cell, label) node
+        # fragmentation is unbounded by any GT-label scan — a degraded sem
+        # head overflowed the scanned 6144 nodes/set by 1113 on test_intra
+        # (runs/sustained_r4/test_last.jsonl).  The standalone test path pays
+        # for the HARD bound instead: nodes per set <= clustered points <=
+        # max_points, making the zero-overflow contract (run under
+        # GAPARTNET_CHECKS=1) unconditional rather than statistical.  Cost is
+        # linear in the cap (~0.06 ms/node at B8, PERF.md round 4) and only
+        # borne by `test`; fit-time evals keep the scanned cap.
+        cfg.model = dataclasses.replace(
+            cfg.model, hash_node_capacity=cfg.model.max_points
+        )
     model = GAPartNet(cfg.model)
     logger = MetricLogger(cfg.trainer.log_file, cfg.trainer.use_wandb)
     optimizer = adam(cfg.trainer.learning_rate)

@@ -428,6 +428,19 @@ def main():
     ap.add_argument("--add-zoom", action="store_true",
                     help="append part-focused close-up views to the "
                     "dataset before training (see append_zoom_views)")
+    ap.add_argument("--extend-a", type=int, default=0, metavar="EPOCHS",
+                    help="resume PHASE A from <workdir>/checkpoints_a/last "
+                    "and train the sem+offset-only configuration on to "
+                    "EPOCHS total (monitor val/recall_gmp), then stop — no "
+                    "phase B, no test.  Use when phase A hit its epoch "
+                    "budget while still improving (the 20-epoch zoom-data "
+                    "run ended mid-escape: door 64 / button 17 rising)")
+    ap.add_argument("--freeze-trunk-b", action="store_true",
+                    help="phase B freezes backbone + sem + offset heads "
+                    "(params AND BN stats) so all-stages training can only "
+                    "ADD instance AP on top of the phase-A semantics — the "
+                    "unfrozen phase-B run measurably eroded its warm start "
+                    "(val pixel_accu 56.7 -> 10.4, fit_phase_b.jsonl)")
     ap.add_argument("--aug-b", action="store_true",
                     help="geometric augmentation in phase B (default OFF: "
                     "the first phase-B run decayed its warm start under "
@@ -461,6 +474,33 @@ def main():
         build_dataset(root, n_points=args.points)
     if args.add_zoom and not args.test_only:
         append_zoom_views(root, n_points=args.points)
+
+    if args.extend_a and not args.test_only:
+        # continue phase A (sem+offset only, no augmentation) from its own
+        # `last` checkpoint, switching the monitor to the balance-gated
+        # recall_gmp (recall_min selected a degenerate all-handle state;
+        # see trainer.py recall_gmp note)
+        cfg = cfg_fn("fit_phase_a.jsonl", max_epochs=args.extend_a)
+        cfg.trainer.training_schedule = (10**6, 10**6)
+        cfg.data.pos_jitter = 0.0
+        cfg.data.flip_prob = 0.0
+        cfg.data.rotate_prob = 0.0
+        cfg.data.color_jitter = 0.0
+        if args.no_focal_a:
+            cfg.model = dataclasses.replace(
+                cfg.model, use_sem_focal_loss=False)
+        cfg.trainer.monitor = "val/recall_gmp"
+        cfg.trainer.val_every_n_epochs = 2
+        cfg.trainer.ckpt_dir = str(workdir / "checkpoints_a")
+        last = workdir / "checkpoints_a" / "last"
+        assert last.exists(), last
+        cfg.trainer.ckpt_path = str(last)
+        dump_cfg(cfg, workdir)
+        (workdir / "run_config_phase_a.json").write_text(
+            (workdir / "run_config.json").read_text())
+        T.fit(cfg)
+        print("phase A extension complete:", workdir, flush=True)
+        return
 
     if args.two_phase and not args.test_only:
         # PHASE A: sem + offset heads only, NO augmentation — the one
@@ -502,6 +542,11 @@ def main():
             # phase-A head sits at
             cfg.model = dataclasses.replace(
                 cfg.model, use_sem_focal_loss=False)
+        if args.freeze_trunk_b:
+            cfg.trainer.freeze_prefixes = (
+                "backbone", "sem_seg_head", "offset_mlp0", "offset_bn",
+                "offset_mlp1",
+            )
         if not args.aug_b:
             cfg.data.pos_jitter = 0.0
             cfg.data.flip_prob = 0.0

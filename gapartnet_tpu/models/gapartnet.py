@@ -275,7 +275,14 @@ class GAPartNet(nn.Module):
         do_score: bool = False,
         do_npcs: bool = False,
         proposals_override: Optional[SampleProposals] = None,
+        frozen_bn: Tuple[str, ...] = (),
     ) -> ModelOutput:
+        """frozen_bn: module names whose BatchNorm runs with running
+        averages even when train=True.  Used by trunk-frozen phase-B
+        training (loop.make_train_step freeze_prefixes): a frozen module's
+        params AND running stats are pinned, so normalizing with current
+        batch statistics would make downstream heads train on features that
+        differ from eval-time features (ADVICE r4)."""
         cfg = self.cfg
         c = cfg.num_part_classes
         points = batch.points
@@ -307,13 +314,13 @@ class GAPartNet(nn.Module):
             voxel_out = SparseUNet(
                 cfg.channels, cfg.block_repeat, compute_dtype=cdtype,
                 remat=cfg.remat_blocks, name="backbone",
-            )(vfeats, hierarchy, train)
+            )(vfeats, hierarchy, train and "backbone" not in frozen_bn)
             pc_feats = _gather_per_point(voxel_out, pc_voxel_id)  # (B, N, fea)
         elif cfg.backbone_type == "PointNet":
             from gapartnet_tpu.models.pointnet import PointNetSegBackbone
 
             pc_feats = PointNetSegBackbone(fea, name="backbone")(
-                points, point_mask, train
+                points, point_mask, train and "backbone" not in frozen_bn
             )
         else:
             raise NotImplementedError(cfg.backbone_type)
@@ -372,7 +379,8 @@ class GAPartNet(nn.Module):
         # offset head (model.py:106-111,196-226)
         # ------------------------------------------------------------------
         x = nn.Dense(fea, name="offset_mlp0")(pc_feats)
-        x = MaskedBatchNorm(name="offset_bn")(x, point_mask, train)
+        x = MaskedBatchNorm(name="offset_bn")(
+            x, point_mask, train and "offset_bn" not in frozen_bn)
         x = nn.relu(x)
         offset_preds = nn.Dense(3, name="offset_mlp1")(x)
 

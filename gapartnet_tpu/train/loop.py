@@ -109,6 +109,11 @@ def make_train_step(
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch, train=True, **flags,
+                # frozen modules also normalize with their PINNED running
+                # stats (not current batch stats), so the trainable heads
+                # see the same trunk features at train and eval time
+                # (ADVICE r4)
+                frozen_bn=freeze_prefixes,
                 rngs={"proposal_jitter": rng},
                 mutable=["batch_stats"],
             )

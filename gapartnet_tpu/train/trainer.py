@@ -212,6 +212,11 @@ class CkptManager:
     ckpt_dir: str
     save_top_k: int = 5
     save_last: bool = True
+    # monitored metric whose scores the filenames encode.  The slug lives IN
+    # the checkpoint name so scores from different monitors (e.g. a
+    # percent-scale val/recall_min run extended under val/recall_gmp) can
+    # never be compared against each other by filename (ADVICE r4 medium).
+    monitor: str = "monitor_metrics/mean_mAP"
     kept: List = dataclasses.field(default_factory=list)  # (score, epoch, path)
 
     def __post_init__(self):
@@ -222,7 +227,8 @@ class CkptManager:
 
     def save(self, state: TrainState, epoch: int, score: float,
              rng=None, gstep: int = 0):
-        name = f"epoch_{epoch:03d}_mAP_{score:.2f}"
+        slug = self.monitor.rsplit("/", 1)[-1]
+        name = f"epoch_{epoch:03d}_{slug}_{score:.2f}"
         path = os.path.abspath(os.path.join(self.ckpt_dir, name))
         ckptr = self._ocp.StandardCheckpointer()
         from flax import serialization as _ser
@@ -852,7 +858,8 @@ def fit(cfg: Config):
         p, b = load_warm_start(state.params, state.batch_stats, cfg.trainer.resume_ckpt)
         state = state._replace(params=p, batch_stats=b)
 
-    ckpts = CkptManager(cfg.trainer.ckpt_dir, cfg.trainer.save_top_k)
+    ckpts = CkptManager(cfg.trainer.ckpt_dir, cfg.trainer.save_top_k,
+                        monitor=cfg.trainer.monitor)
     step_fns = {}
     eval_step_cache: dict = {}
     for epoch in range(start_epoch, cfg.trainer.max_epochs):

@@ -53,17 +53,30 @@ def test_absent_classes_neutral(tmp_path):
     assert w[4] >= 1.0
 
 
-def test_foreground_mass_preserved_before_clamp(tmp_path):
-    # two part classes balanced enough that no clamp binds: the normalized
-    # weights must preserve total foreground loss mass sum(freq*w) == sum(freq)
+def test_foreground_mass_preserved_when_clamp_unbound(tmp_path):
+    # EQUAL part-class frequencies are the only configuration where the
+    # >=1 clamp cannot bind (the commonest class always normalizes below 1
+    # otherwise); there, normalization must preserve total foreground loss
+    # mass EXACTLY: sum(freq*w) == sum(freq)  (ADVICE r4: the old guard
+    # `... or True` was a tautology and the inequality one-sided)
+    sem = [0] * 800 + [4] * 100 + [1] * 100
+    _write_split(tmp_path, [sem])
+    w = np.asarray(scan_class_alpha(tmp_path))
+    freq = np.asarray([800, 100, 0, 0, 100, 0, 0, 0, 0, 0], float) / 1000
+    assert (w[[1, 4]] >= 1.0 - 1e-9).all()  # clamp did not bind
+    fg_mass = float((freq[1:] * w[1:]).sum())
+    assert fg_mass == pytest.approx(float(freq[1:].sum()), rel=1e-9)
+
+
+def test_foreground_mass_clamp_only_adds(tmp_path):
+    # unbalanced classes: the clamp binds on the common class and can only
+    # ADD foreground mass relative to the preserved total
     sem = [0] * 800 + [4] * 120 + [1] * 80
     _write_split(tmp_path, [sem])
     w = np.asarray(scan_class_alpha(tmp_path))
     freq = np.asarray([800, 80, 0, 0, 120, 0, 0, 0, 0, 0], float) / 1000
-    if (w[1:] > 1.0).all() or True:
-        fg_mass = float((freq[1:] * w[1:]).sum())
-        # clamp can only ADD mass; without it binding the sums match
-        assert fg_mass >= float(freq[1:].sum()) - 1e-9
+    fg_mass = float((freq[1:] * w[1:]).sum())
+    assert fg_mass >= float(freq[1:].sum()) - 1e-9
 
 
 def test_ignored_labels_excluded(tmp_path):

@@ -158,8 +158,12 @@ def test_ckpt_manager_save_last_and_tie_keeping(tmp_path):
         )
         mgr.save(state, epoch, 0.0, gstep=epoch)
     names = sorted(p.name for p in tmp_path.iterdir())
-    # newest ties kept, oldest evicted; `last` always present
-    assert names == ["epoch_003_mAP_0.00", "epoch_004_mAP_0.00", "last"]
+    # newest ties kept, oldest evicted; `last` always present.  Filenames
+    # encode the monitor slug so scores from different monitors can never be
+    # compared by name (ADVICE r4)
+    assert names == [
+        "epoch_003_mean_mAP_0.00", "epoch_004_mean_mAP_0.00", "last",
+    ]
     restored = CkptManager.restore(str(tmp_path / "last"))
     assert restored["epoch"] == 4 and restored["gstep"] == 4
     np.testing.assert_array_equal(restored["params"]["w"], np.full(4, 4.0))

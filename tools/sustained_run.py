@@ -173,6 +173,18 @@ def append_zoom_views(root: Path, n_points: int = N_POINTS):
                 names.append(n)
         print(f"zoom-rendered {Path(str(asset)).name}: "
               f"{len(names)}/{n_views}", flush=True)
+        # a render shortfall (too-few-foreground draws skipped) must not
+        # silently starve the later splits of ALL their zoom views (ADVICE
+        # r4): scale every split's share down proportionally instead, and
+        # report the per-split allocation
+        want = sum(c for _, c in alloc)
+        if len(names) < want:
+            scale = len(names) / want
+            alloc = [(s, max(1, round(c * scale)) if c else 0)
+                     for s, c in alloc]
+            while sum(c for _, c in alloc) > len(names):
+                s, c = max(alloc, key=lambda sc: sc[1])
+                alloc[alloc.index((s, c))] = (s, c - 1)
         pos = 0
         for split, count in alloc:
             d = root / split / "pth"
@@ -184,6 +196,8 @@ def append_zoom_views(root: Path, n_points: int = N_POINTS):
                          instance_labels=src["instance_labels"],
                          gt_npcs=src["gt_npcs"])
             pos += count
+            if count:
+                print(f"  zoom alloc {split}: {count}", flush=True)
 
 
 def scan_class_alpha(root: Path, num_classes: int = 10,
@@ -313,13 +327,26 @@ def dump_cfg(cfg, workdir: Path):
     (workdir / "run_config.json").write_text(json.dumps(d, indent=1, default=str))
 
 
-def best_ckpt(ckpt_dir: Path):
-    """Highest-mAP top-k checkpoint dir, or None."""
+def best_ckpt(ckpt_dir: Path, monitor: str = "monitor_metrics/mean_mAP"):
+    """Highest-score top-k checkpoint dir FOR THE GIVEN MONITOR, or None.
+
+    Checkpoint names encode the monitor slug (trainer.CkptManager.save), so a
+    dir holding checkpoints scored on incomparable scales (e.g. a
+    val/recall_min run later extended under val/recall_gmp) never mixes them
+    (ADVICE r4).  Legacy `_mAP_` names are accepted only for the default
+    mean_mAP monitor.
+    """
+    slug = monitor.rsplit("/", 1)[-1]
+    tags = {f"_{slug}_"}
+    if slug == "mean_mAP":
+        tags.add("_mAP_")  # pre-round-5 filename format
     cands = []
     for p in ckpt_dir.iterdir():
-        if p.name.startswith("epoch_") and "_mAP_" in p.name:
+        tag = next((t for t in tags if p.name.startswith("epoch_")
+                    and t in p.name), None)
+        if tag is not None:
             try:
-                cands.append((float(p.name.split("_mAP_")[1]), p))
+                cands.append((float(p.name.rsplit(tag, 1)[1]), p))
             except ValueError:
                 continue
     return max(cands)[1] if cands else None
@@ -348,8 +375,11 @@ def run_test(cfg_fn, workdir: Path, ckpt: Path, tag: str):
     # evidence survives.
     bad = {k: v for k, v in counters.items() if float(v) != 0.0}
     if os.environ.get("GAPARTNET_ALLOW_OVERFLOW", "0") != "1":
-        assert not bad, \
-            f"eval capacity counters nonzero (silent truncation): {bad}"
+        # RuntimeError, not assert: the contract must hold under `python -O`
+        # too (ADVICE r4)
+        if bad:
+            raise RuntimeError(
+                f"eval capacity counters nonzero (silent truncation): {bad}")
     elif bad:
         print(f"test[{tag}] OVERFLOW WAIVED (GAPARTNET_ALLOW_OVERFLOW=1): "
               f"{bad}", flush=True)
@@ -441,6 +471,13 @@ def main():
                     "ADD instance AP on top of the phase-A semantics — the "
                     "unfrozen phase-B run measurably eroded its warm start "
                     "(val pixel_accu 56.7 -> 10.4, fit_phase_b.jsonl)")
+    ap.add_argument("--auto-resume", action="store_true",
+                    help="idempotent relaunch mode (used by "
+                    "tools/watchdog_run.py): resume each phase from its own "
+                    "`last` checkpoint if one exists, skip phase A entirely "
+                    "once <workdir>/phase_a_done is written — a TPU-tunnel "
+                    "outage then costs minutes, not the round (VERDICT r4 "
+                    "#1)")
     ap.add_argument("--aug-b", action="store_true",
                     help="geometric augmentation in phase B (default OFF: "
                     "the first phase-B run decayed its warm start under "
@@ -507,26 +544,37 @@ def main():
         # configuration measured stable against the all-background valley
         # (tools/valley_probe.py lr-3e-4 row).  Checkpoint on foreground
         # accuracy so the best sem head survives any late slide.
-        cfg = cfg_fn("fit_phase_a.jsonl", max_epochs=args.epochs_a)
-        cfg.trainer.training_schedule = (10**6, 10**6)
-        cfg.data.pos_jitter = 0.0
-        cfg.data.flip_prob = 0.0
-        cfg.data.rotate_prob = 0.0
-        cfg.data.color_jitter = 0.0
-        if args.no_focal_a:
-            cfg.model = dataclasses.replace(
-                cfg.model, use_sem_focal_loss=False)
-        # maximin recall: macro's best checkpoint was measured to be a
-        # winner-take-all knife edge (79/7/6); min over present part
-        # classes only rewards states predicting EVERY class at once
-        cfg.trainer.monitor = "val/recall_min"
-        cfg.trainer.val_every_n_epochs = 2
-        cfg.trainer.ckpt_dir = str(workdir / "checkpoints_a")
-        dump_cfg(cfg, workdir)
-        (workdir / "run_config_phase_a.json").write_text(
-            (workdir / "run_config.json").read_text())
-        T.fit(cfg)
-        best_a = best_ckpt(Path(cfg.trainer.ckpt_dir))
+        marker_a = workdir / "phase_a_done"
+        if not (args.auto_resume and marker_a.exists()):
+            cfg = cfg_fn("fit_phase_a.jsonl", max_epochs=args.epochs_a)
+            cfg.trainer.training_schedule = (10**6, 10**6)
+            cfg.data.pos_jitter = 0.0
+            cfg.data.flip_prob = 0.0
+            cfg.data.rotate_prob = 0.0
+            cfg.data.color_jitter = 0.0
+            if args.no_focal_a:
+                cfg.model = dataclasses.replace(
+                    cfg.model, use_sem_focal_loss=False)
+            # balance-gated monitor (trainer.py recall_gmp): round 4 measured
+            # plain recall_min selecting a DEGENERATE all-handle state (min
+            # class recall high because everything is predicted handle);
+            # recall_gmp multiplies per-class recalls geometrically and gates
+            # by foreground accuracy, rewarding only states that predict
+            # every class at once AND stay accurate
+            cfg.trainer.monitor = "val/recall_gmp"
+            cfg.trainer.val_every_n_epochs = 2
+            cfg.trainer.ckpt_dir = str(workdir / "checkpoints_a")
+            last_a = workdir / "checkpoints_a" / "last"
+            if args.auto_resume and last_a.exists():
+                # watchdog relaunch after a tunnel outage: continue phase A
+                # bit-identically from its own `last` (VERDICT r4 #1)
+                cfg.trainer.ckpt_path = str(last_a)
+            dump_cfg(cfg, workdir)
+            (workdir / "run_config_phase_a.json").write_text(
+                (workdir / "run_config.json").read_text())
+            T.fit(cfg)
+            marker_a.write_text("done")
+        best_a = best_ckpt(workdir / "checkpoints_a", "val/recall_gmp")
         assert best_a is not None, "phase A produced no monitored checkpoint"
         print(f"phase A best sem checkpoint: {best_a.name}", flush=True)
         # PHASE B: warm-start the best sem head, ALL stages on from step 0
@@ -535,7 +583,12 @@ def main():
         cfg = cfg_fn("fit_phase_b.jsonl")
         cfg.trainer.training_schedule = (0, 0)
         cfg.trainer.learning_rate = args.lr_b
-        cfg.trainer.resume_ckpt = str(best_a)
+        last_b = workdir / "checkpoints" / "last"
+        if args.auto_resume and last_b.exists():
+            # already warm-started before the outage: full resume instead
+            cfg.trainer.ckpt_path = str(last_b)
+        else:
+            cfg.trainer.resume_ckpt = str(best_a)
         if args.no_focal_a:
             # keep the sem loss surface identical across the warm start —
             # switching CE -> focal mid-stream would move the optimum the

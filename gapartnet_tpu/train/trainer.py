@@ -835,7 +835,7 @@ def _apply_auto_capacity(cfg: Config, datasets) -> None:
     # hash-CCL clustering tables: sized so the round-4 contract holds — the
     # clustering path has NO capacity that drops graph structure silently on
     # this data (counters stay zero under GAPARTNET_CHECKS; VERDICT r3 #2)
-    node_cap, cand_cap = scan_hash_capacities(
+    node_cap, cand_cap, degree = scan_hash_capacities(
         [d for d in datasets.values() if d is not None],
         cfg.model.ball_query_radius,
         max_points=cfg.model.max_points,
@@ -843,12 +843,12 @@ def _apply_auto_capacity(cfg: Config, datasets) -> None:
     cfg.model = dataclasses.replace(
         cfg.model, level_capacities=caps, input_grid_extent=extent,
         hash_node_capacity=node_cap, hash_cand_cap=cand_cap,
-        hash_max_degree=cand_cap,
+        hash_max_degree=degree,
     )
     print(
         f"[gapartnet_tpu] auto_capacity: level capacities {caps}, "
         f"grid extent {extent}, hash nodes/set {node_cap}, "
-        f"hash cand/degree cap {cand_cap}", flush=True,
+        f"hash cand cap {cand_cap}, max degree {degree}", flush=True,
     )
 
 

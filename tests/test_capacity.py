@@ -119,9 +119,16 @@ def test_bench_real_cloud_setup():
 
     cfg = GAPartNetConfig()
     path = Path(bench.__file__).parent / "assets" / "bench_cloud.npz"
-    cfg2, batch = bench.real_cloud_setup(cfg, str(path), 2)
+    cfg2, batch, cluster_sem, cluster_off = bench.real_cloud_setup(cfg, str(path), 2)
     assert batch.points.shape == (2, 20000, 6)
+    assert cluster_sem.shape == (2, 20000)
+    # the trained-operating-point labels: some foreground, mostly background
+    fg_frac = float((cluster_sem > 0).mean())
+    assert 0.0 < fg_frac < 0.5, fg_frac
     assert bool(batch.point_mask.all())
+    # propagation-table width sized from measured connected degree: strictly
+    # narrower than the candidate cap on this cloud (the round-5 fix)
+    assert cfg2.hash_max_degree < cfg2.hash_cand_cap
     caps = cfg2.input_capacities()
     # real surface: level-1 occupancy well above half of level 0
     assert caps[1] > 10000, caps
@@ -131,10 +138,14 @@ def test_bench_real_cloud_setup():
 
 
 def test_scan_hash_capacities(npz_dir):
-    from gapartnet_tpu.data.capacity import _hash_occupancy, scan_hash_capacities
+    from gapartnet_tpu.data.capacity import (
+        _hash_connected_degree,
+        _hash_occupancy,
+        scan_hash_capacities,
+    )
 
     ds = GAPartNetDataset(npz_dir, max_points=500)
-    node_cap, cand_cap = scan_hash_capacities(
+    node_cap, cand_cap, degree = scan_hash_capacities(
         [ds], 0.04, round_to=64, max_points=500
     )
     # node cap bounds the measured gt-node count AND 1.5x the foreground
@@ -143,10 +154,107 @@ def test_scan_hash_capacities(npz_dir):
         item = ds[i]
         mask = item["point_mask"]
         sem = item["sem_labels"][mask]
-        xyz = item["points"][mask][:, :3]
+        xyz = item["points"][mask][:, :3].astype("float64")
         fg = sem > 0
         n_nodes, cmax = _hash_occupancy(xyz[fg], sem[fg], 0.04)
         assert n_nodes <= node_cap
         assert cmax <= cand_cap
+        # the degree cap bounds the measured CONNECTED degree of both
+        # clustering sets with margin (no silent propagation-edge drops)
+        assert _hash_connected_degree(xyz[fg], sem[fg], 0.04) <= degree
+        shifted = item["instance_regions"][mask][:, :3].astype("float64")
+        has_inst = item["instance_labels"][mask] >= 0
+        import numpy as np
+
+        shifted = np.where(has_inst[:, None], shifted, xyz)
+        assert _hash_connected_degree(shifted[fg], sem[fg], 0.04) <= degree
     assert 64 <= node_cap <= 500
     assert cand_cap % 4 == 0 and 4 <= cand_cap <= 62 + 3
+    # connected degree never exceeds the candidate count
+    assert 8 <= degree <= cand_cap and degree % 4 == 0
+
+
+def test_hash_connected_degree_vs_kernel_edges():
+    """The host-side connected-degree measurement must match the max forward
+    degree of the edge table the device kernel actually builds — otherwise
+    sizing hash_max_degree from it could drop propagation edges."""
+    import numpy as np
+
+    from gapartnet_tpu.data.capacity import _hash_connected_degree
+    from gapartnet_tpu.ops.hash_ccl import hash_connected_components
+
+    rng = np.random.RandomState(3)
+    # clumpy geometry: a few dense blobs + sparse scatter, 3 labels
+    blobs = [
+        rng.normal(c, 0.03, size=(120, 3))
+        for c in rng.uniform(-0.3, 0.3, size=(4, 3))
+    ]
+    xyz = np.concatenate(blobs + [rng.uniform(-0.4, 0.4, (120, 3))]).astype(
+        np.float32
+    )
+    sem = rng.randint(1, 4, size=len(xyz)).astype(np.int32)
+    valid = np.ones(len(xyz), bool)
+
+    host_deg = _hash_connected_degree(xyz.astype(np.float64), sem, 0.04)
+
+    nbr = hash_connected_components(
+        xyz, sem, valid, 0.04, debug_stage="edges",
+        cand_cap=60, max_degree=60,
+    )
+    kernel_deg = int((np.asarray(nbr) >= 0).sum(axis=0).max())
+    assert host_deg == kernel_deg, (host_deg, kernel_deg)
+
+
+def test_hash_connected_degree_oracle():
+    """Candidate-but-not-connected geometry: nodes within 2 cells but beyond
+    the radius are candidates yet contribute zero connected degree."""
+    import numpy as np
+
+    from gapartnet_tpu.data.capacity import (
+        _hash_connected_degree,
+        _hash_occupancy,
+    )
+
+    # a--b and a--c: 0.05 apart (within the 2-cell probe reach for
+    # s = 0.04/sqrt(3) ~ 0.0231, beyond radius 0.04); b--d: 0.02 apart in
+    # distinct cells (connected)
+    xyz = np.array(
+        [[0, 0, 0], [0.05, 0, 0], [0, 0.05, 0], [0.07, 0, 0]], np.float64
+    )
+    sem = np.ones(4, np.int64)
+    _, cmax = _hash_occupancy(xyz, sem, 0.04)
+    deg = _hash_connected_degree(xyz, sem, 0.04)
+    assert cmax >= 2
+    assert deg == 1, deg
+
+
+def test_hash_components_vs_cluster_single():
+    """_hash_components (sizes the dense grid pool) must match the live
+    proposal count the device clustering actually produces."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gapartnet_tpu.data.capacity import _hash_components
+    from gapartnet_tpu.models.grouping import cluster_single
+
+    rng = np.random.RandomState(7)
+    blobs, sems = [], []
+    for i, c in enumerate(rng.uniform(-0.3, 0.3, size=(5, 3))):
+        blobs.append(rng.normal(c, 0.01, size=(60, 3)))
+        sems.append(np.full(60, 1 + i % 3))
+    xyz = np.concatenate(blobs).astype(np.float32)
+    sem = np.concatenate(sems).astype(np.int32)
+    valid = np.ones(len(xyz), bool)
+    offsets = np.zeros_like(xyz)
+
+    prop = cluster_single(
+        jnp.asarray(xyz), jnp.asarray(offsets), jnp.asarray(sem),
+        jnp.asarray(valid), 0.04, 50, 300, 5, 64,
+    )
+    dev_live = int(prop.num_proposals)
+
+    host_live = 2 * _hash_components(
+        xyz.astype(np.float64), sem.astype(np.int64), 0.04, min_points=5
+    )  # zero offsets: both sets cluster identically
+    assert dev_live == host_live, (dev_live, host_live)
+    assert dev_live >= 10  # 5 blobs x 2 sets (blobs may merge if overlapping)

@@ -43,10 +43,11 @@ def main():
         str(Path(__file__).resolve().parent.parent / ".jax_cache"),
     )
     cfg = GAPartNetConfig(conv_compute_dtype="bfloat16")
+    cluster_sem = cluster_off = None
     if os.environ.get("BENCH_REAL"):
         import bench
 
-        cfg, batch = bench.real_cloud_setup(
+        cfg, batch, cluster_sem, cluster_off = bench.real_cloud_setup(
             cfg,
             str(Path(__file__).resolve().parent.parent
                 / "assets" / "bench_cloud.npz"),
@@ -67,7 +68,11 @@ def main():
     prev = dict(ms=0.0, gflop=0.0, gb=0.0)
     for name, flags in stages:
         def fn(b, fl=flags):
-            out = model.apply(variables, b, train=False, **fl)
+            out = model.apply(
+                variables, b, train=False,
+                cluster_sem_override=cluster_sem,
+                cluster_offset_override=cluster_off, **fl
+            )
             return out.sem_preds if not fl["do_cluster"] else out
 
         compiled = jax.jit(fn).lower(batch).compile()

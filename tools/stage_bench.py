@@ -42,10 +42,11 @@ def main():
             pass
         overrides[k] = v
     cfg = GAPartNetConfig(conv_compute_dtype="bfloat16", **overrides)
+    cluster_sem = cluster_off = None
     if os.environ.get("BENCH_REAL"):
         import bench
 
-        cfg, batch = bench.real_cloud_setup(
+        cfg, batch, cluster_sem, cluster_off = bench.real_cloud_setup(
             cfg,
             str(Path(__file__).resolve().parent.parent
                 / "assets" / "bench_cloud.npz"),
@@ -66,10 +67,16 @@ def main():
     for name, flags in stages:
         fn = jax.jit(
             lambda b, fl=flags: model.apply(
-                variables, b, train=False, **fl
+                variables, b, train=False,
+                cluster_sem_override=cluster_sem,
+                cluster_offset_override=cluster_off, **fl
             ).sem_preds
             if not fl["do_cluster"]
-            else model.apply(variables, b, train=False, **fl)
+            else model.apply(
+                variables, b, train=False,
+                cluster_sem_override=cluster_sem,
+                cluster_offset_override=cluster_off, **fl
+            )
         )
         out = fn(batch)
         leaf = jax.tree_util.tree_leaves(out)[0]
